@@ -1,0 +1,412 @@
+"""Vectorized Montgomery prime-field arithmetic for TPU.
+
+TPU-native design notes
+-----------------------
+The reference implements 4x64-bit Montgomery multiplication with MULX/ADCX
+x64 assembly (reference: fields/field_impl_asm.tcc:305, asm_macros.hpp:270).
+TPUs have no 64-bit scalar units; the VPU operates on 32-bit lanes. We
+therefore represent a field element as **18 limbs of 15 bits stored in
+uint32**, batch axis trailing (planar layout, limb axis first) so batches map
+onto the 8x128 VPU lanes:
+
+* a product of two 15-bit limbs fits a 32-bit lane with headroom even when
+  limbs are slightly "relaxed" (carry-save), so no 64-bit emulation is needed;
+* column accumulations of the 18x18 schoolbook product stay < 2^22 < 2^32;
+* Montgomery reduction is done in one shot with m = T * (-p^-1) mod 2^270
+  instead of the reference's 4 interleaved CIOS rounds - fewer data-dependent
+  chains, which XLA vectorizes cleanly.
+
+All ops keep elements in **canonical form** (< p, normalized 15-bit limbs).
+The external (serialized) representation everywhere in this library is the
+reference's Montgomery form with R = 2^256; internally R' = 2^270. The map
+``u -> u * 2^14 mod p`` converts between them homomorphically (params.py).
+
+Every public method is pure jnp and safe to call under jit/vmap/shard_map.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .limbs import int_to_limbs, ints_to_limbs, limbs_to_int, limbs_to_ints
+from .params import (
+    FieldParams,
+    LIMB_BITS,
+    LIMB_MASK,
+    NUM_LIMBS,
+    R_EXTERNAL,
+    R_INTERNAL,
+)
+
+L = NUM_LIMBS
+WIDE = 2 * L  # columns of a full product (i + j <= 2L-2, hi spill to 2L-1)
+
+
+def _u32(x) -> jnp.ndarray:
+    return jnp.asarray(x, dtype=jnp.uint32)
+
+
+class Field:
+    """A prime field instance with vectorized limb arithmetic.
+
+    Element arrays have shape ``(18, *batch)`` dtype uint32. Scalars are
+    ``(18,)`` arrays and broadcast against batches.
+    """
+
+    def __init__(self, params: FieldParams):
+        self.params = params
+        self.p = params.modulus
+        # Host-side constant limb tables (become device constants under jit).
+        self._p_limbs = int_to_limbs(self.p)
+        self._nprime_limbs = int_to_limbs(params.nprime_int)
+        self._to_internal = int_to_limbs(
+            (params.to_internal_factor * R_INTERNAL) % self.p
+        )
+        self._from_internal = int_to_limbs(
+            (params.from_internal_factor * R_INTERNAL) % self.p
+        )
+        # NB: mont factors above are themselves stored in internal-Montgomery
+        # form so a single mont_mul applies them.
+        self.one = self.const(1)
+        self.zero = self.const(0)
+        self.modulus_limbs = jnp.asarray(self._p_limbs)
+
+    # ------------------------------------------------------------------
+    # Encoding
+    # ------------------------------------------------------------------
+    def const(self, value: int) -> jnp.ndarray:
+        """Python int (a field *value*) -> internal-Montgomery (18,) array."""
+        return jnp.asarray(int_to_limbs((value % self.p) * R_INTERNAL % self.p))
+
+    def encode(self, values) -> jnp.ndarray:
+        """List of field values -> internal-Montgomery (18, N) array."""
+        vals = [(int(v) % self.p) * R_INTERNAL % self.p for v in values]
+        return jnp.asarray(ints_to_limbs(vals))
+
+    def decode(self, limbs) -> list[int]:
+        """Internal-Montgomery (18, *batch) -> list of field values."""
+        r_inv = self.params.r_int_inv
+        return [v * r_inv % self.p for v in limbs_to_ints(np.asarray(limbs))]
+
+    def encode_montgomery(self, raw_values) -> jnp.ndarray:
+        """256-bit ints already in the reference's R=2^256 Montgomery form
+        -> internal representation (multiplies by 2^14 mod p)."""
+        vals = [(int(v) << 14) % self.p for v in raw_values]
+        return jnp.asarray(ints_to_limbs(vals))
+
+    def decode_montgomery(self, limbs) -> list[int]:
+        """Internal representation -> reference R=2^256 Montgomery integers."""
+        inv = pow(1 << 14, -1, self.p)
+        return [v * inv % self.p for v in limbs_to_ints(np.asarray(limbs))]
+
+    # ------------------------------------------------------------------
+    # Shape helpers
+    # ------------------------------------------------------------------
+    def zeros(self, batch_shape) -> jnp.ndarray:
+        return jnp.zeros((L, *batch_shape), dtype=jnp.uint32)
+
+    def full(self, batch_shape, scalar_limbs) -> jnp.ndarray:
+        return jnp.broadcast_to(
+            jnp.reshape(scalar_limbs, (L,) + (1,) * len(batch_shape)),
+            (L, *batch_shape),
+        ).astype(jnp.uint32)
+
+    # ------------------------------------------------------------------
+    # Carry machinery
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _ripple(cols, out_len: int):
+        """Exact sequential carry propagation. cols: (K, *b) relaxed columns.
+        Returns (out_len, *b) normalized 15-bit limbs. Assumes the value fits.
+        """
+        k = cols.shape[0]
+        carry = jnp.zeros_like(cols[0])
+        outs = []
+        for i in range(out_len):
+            v = (cols[i] if i < k else jnp.zeros_like(carry)) + carry
+            outs.append(v & LIMB_MASK)
+            carry = v >> LIMB_BITS
+        return jnp.stack(outs)
+
+    def _cond_sub_p(self, a):
+        """a (normalized, < 2p) -> a mod p canonical."""
+        p = self._p_limbs
+        borrow = jnp.zeros_like(a[0])
+        outs = []
+        for i in range(L):
+            v = a[i] + _u32(LIMB_MASK + 1 - int(p[i])) - borrow
+            outs.append(v & LIMB_MASK)
+            borrow = _u32(1) - (v >> LIMB_BITS)
+        d = jnp.stack(outs)
+        ge_p = borrow == 0  # no final borrow => a >= p
+        return jnp.where(ge_p[None], d, a)
+
+    # ------------------------------------------------------------------
+    # Add / sub / neg
+    # ------------------------------------------------------------------
+    def add(self, a, b):
+        s = self._ripple(a + b, L)
+        return self._cond_sub_p(s)
+
+    def sub(self, a, b):
+        borrow = jnp.zeros_like(a[0])
+        outs = []
+        for i in range(L):
+            v = a[i] + _u32(LIMB_MASK + 1) - b[i] - borrow
+            outs.append(v & LIMB_MASK)
+            borrow = _u32(1) - (v >> LIMB_BITS)
+        d = jnp.stack(outs)
+        underflow = borrow == 1
+        e = self._ripple(d + self.full(a.shape[1:], self.modulus_limbs), L)
+        return jnp.where(underflow[None], e, d)
+
+    def neg(self, a):
+        p = self.full(a.shape[1:], self.modulus_limbs)
+        borrow = jnp.zeros_like(a[0])
+        outs = []
+        for i in range(L):
+            v = p[i] + _u32(LIMB_MASK + 1) - a[i] - borrow
+            outs.append(v & LIMB_MASK)
+            borrow = _u32(1) - (v >> LIMB_BITS)
+        d = jnp.stack(outs)
+        return self._cond_sub_p(d)  # maps a=0 -> p -> 0
+
+    def double(self, a):
+        return self.add(a, a)
+
+    # ------------------------------------------------------------------
+    # Multiplication
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _skew_sum(m):
+        """Anti-diagonal sums: m (L, L, *batch) -> (2L-1, *batch) with
+        out[k] = sum_i m[i, k-i]. Done with one pad+reshape ("skew") so XLA
+        sees 3 cheap ops instead of L dynamic-update-slices."""
+        batch = m.shape[2:]
+        mp = jnp.pad(m, ((0, 0), (0, L)) + ((0, 0),) * len(batch))
+        flat = mp.reshape((L * 2 * L,) + batch)
+        sk = flat[: L * (2 * L - 1)].reshape((L, 2 * L - 1) + batch)
+        return sk.sum(axis=0, dtype=jnp.uint32)
+
+    @classmethod
+    def _wide_product_cols(cls, a, b):
+        """Full 36-column carry-save product of two limb vectors.
+
+        a: (L, *batch), b: (L, *batch) -> (2L, *batch) columns, each < 2^21.
+        Limbs may be relaxed up to ~2^15 + 2^7; 15-bit products fit uint32.
+        """
+        outer = a[:, None] * b[None, :]  # (L, L, *batch)
+        lo = cls._skew_sum(outer & LIMB_MASK)  # (2L-1, *batch)
+        hi = cls._skew_sum(outer >> LIMB_BITS)
+        pad_cfg = ((0, 0),) * (lo.ndim - 1)
+        return jnp.pad(lo, ((0, 1),) + pad_cfg) + jnp.pad(hi, ((1, 0),) + pad_cfg)
+
+    @classmethod
+    def _low_product_cols(cls, a, b_limbs_const):
+        """Columns 0..L-1 of a * b (exact mod 2^270), b a host constant."""
+        batch = a.shape[1:]
+        b = jnp.asarray(b_limbs_const.reshape((L,) + (1,) * len(batch)))
+        return cls._wide_product_cols(a, jnp.broadcast_to(b, (L, *batch)))[:L]
+
+    @staticmethod
+    def _carry_pass(cols):
+        """One relaxation pass: limbs -> < 2^15 + small carry. Value preserved."""
+        lo = cols & LIMB_MASK
+        hi = cols >> LIMB_BITS
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(hi[:1]), hi], axis=0
+        )  # carry into next column; top carry appended as a fresh column
+        return jnp.concatenate([lo, jnp.zeros_like(lo[:1])], axis=0) + shifted
+
+    def mont_mul(self, a, b):
+        """Montgomery product a * b * 2^-270 mod p, canonical output.
+
+        One-shot reduction (vs the reference's interleaved CIOS,
+        fields/field_impl_asm.tcc:305): m = T*(-p^-1) mod 2^270, then
+        (T + m*p) / 2^270, conditional subtract.
+        """
+        t = self._wide_product_cols(a, b)  # (36,) cols < 2^22
+        t = self._carry_pass(t)  # (37,) limbs <= 2^15 + 2^7
+        m = self._low_product_cols(t[:L], self._nprime_limbs)
+        m = self._carry_pass(m)[:L]  # drop overflow col: mod 2^270
+        u = self._wide_product_cols(m, self.full(a.shape[1:], self.modulus_limbs))
+        s = jnp.concatenate([u, jnp.zeros_like(u[:1])], axis=0) + t  # (37,)
+        # Exact division by 2^270: low 18 normalized digits are zero, so only
+        # the carry out of column 17 survives.
+        carry = jnp.zeros_like(s[0])
+        for i in range(L):
+            carry = (s[i] + carry) >> LIMB_BITS
+        hi = s[L:]  # (19,) columns
+        hi = hi.at[0].add(carry)
+        r = self._ripple(hi, L)
+        return self._cond_sub_p(r)
+
+    def mul(self, a, b):
+        return self.mont_mul(a, b)
+
+    def sqr(self, a):
+        return self.mont_mul(a, a)
+
+    def mul_by_constant(self, a, value: int):
+        """Multiply by a field *value* (host int) via one mont_mul."""
+        c = self.const(value)
+        return self.mont_mul(a, self.full(a.shape[1:], c))
+
+    # ------------------------------------------------------------------
+    # Montgomery form conversion (external R = 2^256 semantics)
+    # ------------------------------------------------------------------
+    def to_montgomery_form(self, a):
+        """Matches reference __to_montgomery_form: treats input as a raw
+        integer and multiplies in R=2^256. Internally: a * 2^270 relation is
+        maintained by the 2^14-shift homomorphism."""
+        return self.mont_mul(a, self.full(a.shape[1:], self._to_internal_raw()))
+
+    def from_montgomery_form(self, a):
+        return self.mont_mul(a, self.full(a.shape[1:], self._one_raw()))
+
+    @functools.lru_cache(maxsize=None)
+    def _to_internal_raw(self):
+        # Raw integer x (encoded as limbs of x<<14) to internal mont form is
+        # x * 2^270: need factor f with x*2^14 * f * 2^-270 = x * 2^270 * 2^14
+        # i.e. f = 2^526 mod p... kept simple: value-level factor R_int*R_ext.
+        return jnp.asarray(
+            int_to_limbs((R_INTERNAL * R_EXTERNAL) % self.p)
+        )
+
+    @functools.lru_cache(maxsize=None)
+    def _one_raw(self):
+        # from_montgomery: multiply by 1 (raw) => encode_montgomery(1) = 2^14.
+        return jnp.asarray(int_to_limbs(1 << 14))
+
+    # ------------------------------------------------------------------
+    # Predicates
+    # ------------------------------------------------------------------
+    @staticmethod
+    def eq(a, b):
+        return jnp.all(a == b, axis=0)
+
+    @staticmethod
+    def is_zero(a):
+        return jnp.all(a == 0, axis=0)
+
+    def select(self, mask, a, b):
+        """mask (*batch,) bool: where(mask, a, b)."""
+        return jnp.where(mask[None], a, b)
+
+    # ------------------------------------------------------------------
+    # Exponentiation and inversion
+    # ------------------------------------------------------------------
+    def pow_static(self, a, exponent: int):
+        """a^exponent for a host-known integer exponent (square & multiply
+        via lax.scan over the exponent bits, MSB first)."""
+        if exponent == 0:
+            return self.full(a.shape[1:], self.one)
+        nbits = exponent.bit_length()
+        bits = jnp.asarray(
+            [(exponent >> (nbits - 1 - i)) & 1 for i in range(nbits)],
+            dtype=jnp.uint32,
+        )
+        one = self.full(a.shape[1:], self.one)
+
+        def body(acc, bit):
+            acc = self.sqr(acc)
+            acc = jnp.where(bit > 0, self.mont_mul(acc, a), acc)
+            return acc, None
+
+        # First bit is always 1: start from a to save one mul.
+        acc, _ = jax.lax.scan(body, a, bits[1:])
+        del one
+        result = acc
+        return self.select(self.is_zero(a), a, result)
+
+    def invert(self, a):
+        """Fermat inversion a^(p-2); maps 0 -> 0 (reference pow semantics,
+        fields/field.hpp:345)."""
+        return self.pow_static(a, self.p - 2)
+
+    def sqrt(self, a):
+        """a^((p+1)/4) - valid for p = 3 mod 4 (true for BN254 Fq, which is
+        the only field the reference takes square roots in: hash_to_curve,
+        groups/group.hpp:73-114). Use sqrt_host for p = 1 mod 4."""
+        if self.p % 4 != 3:
+            raise NotImplementedError(
+                f"device sqrt requires p = 3 mod 4; use sqrt_host for {self.params.name}"
+            )
+        return self.pow_static(a, (self.p + 1) // 4)
+
+    def sqrt_host(self, value: int) -> int | None:
+        """Tonelli-Shanks on host ints; returns None for non-residues."""
+        p = self.p
+        value %= p
+        if value == 0:
+            return 0
+        if pow(value, (p - 1) // 2, p) != 1:
+            return None
+        if p % 4 == 3:
+            return pow(value, (p + 1) // 4, p)
+        q, s = p - 1, 0
+        while q % 2 == 0:
+            q //= 2
+            s += 1
+        z = 2
+        while pow(z, (p - 1) // 2, p) != p - 1:
+            z += 1
+        m, c, t, r = s, pow(z, q, p), pow(value, q, p), pow(value, (q + 1) // 2, p)
+        while t != 1:
+            i, t2 = 0, t
+            while t2 != 1:
+                t2 = t2 * t2 % p
+                i += 1
+            b = pow(c, 1 << (m - i - 1), p)
+            m, c = i, b * b % p
+            t, r = t * c % p, r * b % p
+        return r
+
+    def batch_invert(self, a, axis: int = 1):
+        """Montgomery batch inversion along a batch axis (reference
+        fields/field.hpp:503-522). Zero entries map to garbage (as reference);
+        callers mask them out."""
+        mul = self.mont_mul
+        prefix = jax.lax.associative_scan(mul, a, axis=axis)
+        n = a.shape[axis]
+        total = jax.lax.index_in_dim(prefix, n - 1, axis=axis, keepdims=False)
+        total_inv = self.invert(total)
+        suffix = jax.lax.associative_scan(mul, a, axis=axis, reverse=True)
+        # inv_i = prefix_{i-1} * suffix_{i+1} * total_inv
+        ones = jnp.broadcast_to(
+            jnp.expand_dims(
+                self.full(a.shape[1:axis] + a.shape[axis + 1 :], self.one),
+                axis,
+            ),
+            jax.lax.slice_in_dim(a, 0, 1, axis=axis).shape,
+        )
+        pre = jnp.concatenate(
+            [ones, jax.lax.slice_in_dim(prefix, 0, n - 1, axis=axis)], axis=axis
+        )
+        suf = jnp.concatenate(
+            [jax.lax.slice_in_dim(suffix, 1, n, axis=axis), ones], axis=axis
+        )
+        out = mul(mul(pre, suf), jnp.expand_dims(total_inv, axis))
+        return out
+
+    # ------------------------------------------------------------------
+    # Misc
+    # ------------------------------------------------------------------
+    def random_elements(self, n: int, rng: np.random.Generator) -> jnp.ndarray:
+        """Seeded host-side sampling of canonical elements, internal form.
+        (The reference uses getentropy, field.hpp:368; tests need
+        reproducibility so we take an explicit numpy Generator.)"""
+        vals = [int.from_bytes(rng.bytes(32), "little") % self.p for _ in range(n)]
+        return self.encode(vals)
+
+    def get_root_of_unity(self, degree: int) -> int:
+        """Value of the 2^degree-th root of unity (reference
+        field.hpp:487-497). Host int."""
+        r = self.params.primitive_root
+        for _ in range(self.params.primitive_root_log_size - degree):
+            r = r * r % self.p
+        return r

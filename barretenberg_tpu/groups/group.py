@@ -1,0 +1,257 @@
+"""Vectorized short-Weierstrass group law (y^2 = x^3 + b, a = 0) on TPU.
+
+Replaces the reference's branchy Jacobian implementation
+(reference: groups/group.hpp:153-448) with a branch-free, mask-merged design:
+points are struct-of-(limb-)arrays with an explicit infinity mask vector, and
+`add` computes the generic sum, the doubling case, and the
+infinity/cancellation cases unconditionally, merging with jnp.where. This is
+the idiomatic TPU formulation of the reference's cmov tricks
+(groups/group_impl_asm.tcc:71-104) - lane-uniform control flow on the VPU.
+
+The reference encodes infinity by setting the MSB of y (group.hpp:133-151);
+that encoding only exists at serialization boundaries here.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..fields.montgomery import Field
+
+
+class JacobianPoints(NamedTuple):
+    """Batch of Jacobian points. x,y,z: (18, *batch) uint32; inf: (*batch,) bool."""
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+    inf: jnp.ndarray
+
+
+class AffinePoints(NamedTuple):
+    """Batch of affine points with explicit infinity mask."""
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+    inf: jnp.ndarray
+
+
+class Curve:
+    """Group law over a vectorized `Field`. b is the curve constant (value)."""
+
+    def __init__(self, field: Field, b_value: int, generator_xy: tuple[int, int]):
+        self.f = field
+        self.b_value = b_value
+        self.b = field.const(b_value)
+        self.generator_affine = generator_xy
+
+    # ------------------------------------------------------------------
+    # Constructors
+    # ------------------------------------------------------------------
+    def infinity(self, batch_shape=()) -> JacobianPoints:
+        f = self.f
+        z = f.zeros(batch_shape)
+        return JacobianPoints(z, z, z, jnp.ones(batch_shape, dtype=bool))
+
+    def affine_infinity(self, batch_shape=()) -> AffinePoints:
+        f = self.f
+        z = f.zeros(batch_shape)
+        return AffinePoints(z, z, jnp.ones(batch_shape, dtype=bool))
+
+    def to_jacobian(self, p: AffinePoints) -> JacobianPoints:
+        one = self.f.full(p.x.shape[1:], self.f.one)
+        return JacobianPoints(p.x, p.y, one, p.inf)
+
+    def generator(self, batch_shape=()) -> AffinePoints:
+        gx, gy = self.generator_affine
+        f = self.f
+        x = f.full(batch_shape, f.const(gx))
+        y = f.full(batch_shape, f.const(gy))
+        return AffinePoints(x, y, jnp.zeros(batch_shape, dtype=bool))
+
+    # ------------------------------------------------------------------
+    # Group law
+    # ------------------------------------------------------------------
+    def dbl(self, p: JacobianPoints) -> JacobianPoints:
+        """Point doubling, dbl-2009-l for a=0 (reference group.hpp:153-217).
+        BN254 has prime order so no affine point has y = 0."""
+        f = self.f
+        a = f.sqr(p.x)
+        b = f.sqr(p.y)
+        c = f.sqr(b)
+        d = f.sub(f.sqr(f.add(p.x, b)), f.add(a, c))
+        d = f.double(d)
+        e = f.add(f.double(a), a)
+        ff = f.sqr(e)
+        x3 = f.sub(ff, f.double(d))
+        y3 = f.sub(f.mul(e, f.sub(d, x3)), f.double(f.double(f.double(c))))
+        z3 = f.double(f.mul(p.y, p.z))
+        return JacobianPoints(x3, y3, z3, p.inf)
+
+    def add(self, p: JacobianPoints, q: JacobianPoints) -> JacobianPoints:
+        """Complete Jacobian addition via mask-merged add/double/infinity
+        (reference's branch ladder: group.hpp:324-448)."""
+        f = self.f
+        z1z1 = f.sqr(p.z)
+        z2z2 = f.sqr(q.z)
+        u1 = f.mul(p.x, z2z2)
+        u2 = f.mul(q.x, z1z1)
+        s1 = f.mul(p.y, f.mul(q.z, z2z2))
+        s2 = f.mul(q.y, f.mul(p.z, z1z1))
+        h = f.sub(u2, u1)
+        r = f.double(f.sub(s2, s1))  # r = 2*(S2-S1)  (add-2007-bl)
+        h_zero = f.is_zero(h)
+        r_zero = f.is_zero(r)
+
+        i = f.sqr(f.double(h))
+        j = f.mul(h, i)
+        v = f.mul(u1, i)
+        x3 = f.sub(f.sqr(r), f.add(j, f.double(v)))
+        y3 = f.sub(f.mul(r, f.sub(v, x3)), f.double(f.mul(s1, j)))
+        z3 = f.mul(f.sub(f.sqr(f.add(p.z, q.z)), f.add(z1z1, z2z2)), h)
+
+        dbl_res = self.dbl(p)
+        both_live = jnp.logical_and(~p.inf, ~q.inf)
+        use_dbl = jnp.logical_and(both_live, jnp.logical_and(h_zero, r_zero))
+        cancel = jnp.logical_and(both_live, jnp.logical_and(h_zero, ~r_zero))
+
+        x = f.select(use_dbl, dbl_res.x, x3)
+        y = f.select(use_dbl, dbl_res.y, y3)
+        z = f.select(use_dbl, dbl_res.z, z3)
+        inf = cancel
+        # P at infinity -> Q; Q at infinity -> P.
+        x = f.select(q.inf, p.x, f.select(p.inf, q.x, x))
+        y = f.select(q.inf, p.y, f.select(p.inf, q.y, y))
+        z = f.select(q.inf, p.z, f.select(p.inf, q.z, z))
+        inf = jnp.where(q.inf, p.inf, jnp.where(p.inf, q.inf, inf))
+        return JacobianPoints(x, y, z, inf)
+
+    def mixed_add(self, p: JacobianPoints, q: AffinePoints) -> JacobianPoints:
+        """Jacobian + affine (reference mixed_add_inner, group.hpp:219-303)."""
+        f = self.f
+        z1z1 = f.sqr(p.z)
+        u2 = f.mul(q.x, z1z1)
+        s2 = f.mul(q.y, f.mul(p.z, z1z1))
+        h = f.sub(u2, p.x)
+        r = f.double(f.sub(s2, p.y))
+        h_zero = f.is_zero(h)
+        r_zero = f.is_zero(r)
+
+        hh = f.sqr(h)
+        i = f.double(f.double(hh))
+        j = f.mul(h, i)
+        v = f.mul(p.x, i)
+        x3 = f.sub(f.sqr(r), f.add(j, f.double(v)))
+        y3 = f.sub(f.mul(r, f.sub(v, x3)), f.double(f.mul(p.y, j)))
+        z3 = f.sub(f.sqr(f.add(p.z, h)), f.add(z1z1, hh))
+
+        dbl_res = self.dbl(p)
+        both_live = jnp.logical_and(~p.inf, ~q.inf)
+        use_dbl = jnp.logical_and(both_live, jnp.logical_and(h_zero, r_zero))
+        cancel = jnp.logical_and(both_live, jnp.logical_and(h_zero, ~r_zero))
+
+        x = f.select(use_dbl, dbl_res.x, x3)
+        y = f.select(use_dbl, dbl_res.y, y3)
+        z = f.select(use_dbl, dbl_res.z, z3)
+        inf = cancel
+        one = f.full(p.x.shape[1:], f.one)
+        x = f.select(q.inf, p.x, f.select(p.inf, q.x, x))
+        y = f.select(q.inf, p.y, f.select(p.inf, q.y, y))
+        z = f.select(q.inf, p.z, f.select(p.inf, one, z))
+        inf = jnp.where(q.inf, p.inf, jnp.where(p.inf, q.inf, inf))
+        return JacobianPoints(x, y, z, inf)
+
+    def neg(self, p: JacobianPoints) -> JacobianPoints:
+        return JacobianPoints(p.x, self.f.neg(p.y), p.z, p.inf)
+
+    def neg_affine(self, p: AffinePoints) -> AffinePoints:
+        return AffinePoints(p.x, self.f.neg(p.y), p.inf)
+
+    def conditional_negate_affine(self, p: AffinePoints, predicate) -> AffinePoints:
+        """Branchless conditional negation (reference
+        groups/group_impl_asm.tcc:71-104's cmov, as a lane select)."""
+        y_neg = self.f.neg(p.y)
+        return AffinePoints(p.x, self.f.select(predicate, y_neg, p.y), p.inf)
+
+    # ------------------------------------------------------------------
+    # Normalization / predicates
+    # ------------------------------------------------------------------
+    def batch_normalize(self, p: JacobianPoints) -> AffinePoints:
+        """Jacobian -> affine via Montgomery batch inversion of z
+        (reference group.hpp:474-534)."""
+        f = self.f
+        one = f.full(p.z.shape[1:], f.one)
+        z = f.select(p.inf, one, p.z)
+        flat = z.reshape(z.shape[0], -1)
+        zinv = f.batch_invert(flat).reshape(z.shape)
+        zinv2 = f.sqr(zinv)
+        x = f.mul(p.x, zinv2)
+        y = f.mul(p.y, f.mul(zinv, zinv2))
+        return AffinePoints(x, y, p.inf)
+
+    def normalize(self, p: JacobianPoints) -> AffinePoints:
+        return self.batch_normalize(p)
+
+    def on_curve_affine(self, p: AffinePoints):
+        f = self.f
+        lhs = f.sqr(p.y)
+        rhs = f.add(f.mul(f.sqr(p.x), p.x), f.full(p.x.shape[1:], self.b))
+        return jnp.logical_or(p.inf, f.eq(lhs, rhs))
+
+    def eq(self, p: JacobianPoints, q: JacobianPoints):
+        """Projective equality by cross-multiplication (group.hpp:574-606)."""
+        f = self.f
+        z1z1 = f.sqr(p.z)
+        z2z2 = f.sqr(q.z)
+        x_eq = f.eq(f.mul(p.x, z2z2), f.mul(q.x, z1z1))
+        y_eq = f.eq(
+            f.mul(p.y, f.mul(q.z, z2z2)), f.mul(q.y, f.mul(p.z, z1z1))
+        )
+        both = jnp.logical_and(p.inf, q.inf)
+        neither = jnp.logical_and(~p.inf, ~q.inf)
+        return jnp.logical_or(
+            both, jnp.logical_and(neither, jnp.logical_and(x_eq, y_eq))
+        )
+
+    # ------------------------------------------------------------------
+    # Scalar multiplication (oracle-grade; MSM lives in msm/)
+    # ------------------------------------------------------------------
+    def scalar_mul_bits(self, p: AffinePoints, bits: jnp.ndarray) -> JacobianPoints:
+        """Double-and-add over an MSB-first bit array (reference
+        group.hpp:608-650). bits: (nbits, *batch) uint32 in {0,1}."""
+        acc = self.infinity(p.x.shape[1:])
+
+        def body(acc, bit):
+            acc = self.dbl(acc)
+            added = self.mixed_add(acc, p)
+            x = self.f.select(bit > 0, added.x, acc.x)
+            y = self.f.select(bit > 0, added.y, acc.y)
+            z = self.f.select(bit > 0, added.z, acc.z)
+            inf = jnp.where(bit > 0, added.inf, acc.inf)
+            return JacobianPoints(x, y, z, inf), None
+
+        acc, _ = jax.lax.scan(body, acc, bits)
+        return acc
+
+    # ------------------------------------------------------------------
+    # Gather / select helpers for MSM
+    # ------------------------------------------------------------------
+    @staticmethod
+    def take_affine(p: AffinePoints, idx) -> AffinePoints:
+        return AffinePoints(
+            jnp.take(p.x, idx, axis=1),
+            jnp.take(p.y, idx, axis=1),
+            jnp.take(p.inf, idx, axis=0),
+        )
+
+    def select_points(self, mask, p: JacobianPoints, q: JacobianPoints):
+        f = self.f
+        return JacobianPoints(
+            f.select(mask, p.x, q.x),
+            f.select(mask, p.y, q.y),
+            f.select(mask, p.z, q.z),
+            jnp.where(mask, p.inf, q.inf),
+        )

@@ -18,3 +18,20 @@ try:
 except ValueError as e:
     print("oversized int ->", e)
 print("done", flush=True)
+
+# --- G1 group law on TPU ---
+from barretenberg_tpu.groups import g1
+from barretenberg_tpu.groups.g1 import random_affine_points, jacobian_to_host, points_to_host, scalar_mul
+from barretenberg_tpu.utils import host_curve
+rng2 = np.random.default_rng(5)
+a = random_affine_points(4, rng2); b = random_affine_points(4, rng2)
+dev = jacobian_to_host(jax.jit(g1.add)(g1.to_jacobian(a), g1.to_jacobian(b)))
+host = [host_curve.g1_add(x, y) for x, y in zip(points_to_host(a), points_to_host(b))]
+print("TPU g1.add matches host oracle:", dev == host, flush=True)
+k = 0xDEADBEEFCAFEF00D
+print("TPU scalar_mul matches host:", jacobian_to_host(scalar_mul(g1.generator((1,)), k))[0] == host_curve.g1_mul(host_curve.G1_GENERATOR, k), flush=True)
+# probe: P + (-P) -> infinity lane, and infinity propagates through normalize
+j = g1.to_jacobian(a)
+res = g1.add(j, g1.neg(j))
+print("P+(-P) all infinity:", bool(res.inf.all()), "normalized:", jacobian_to_host(res), flush=True)
+print("done2", flush=True)

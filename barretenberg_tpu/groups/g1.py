@@ -1,0 +1,64 @@
+"""BN254 G1 instantiation (reference: curves/bn254/g1.hpp).
+
+Curve: y^2 = x^3 + 3 over Fq, generator (1, 2) (one_y/b constants of
+g1.hpp:9-17 decode to these values).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..fields import fq, fr
+from ..utils import host_curve
+from .group import AffinePoints, Curve, JacobianPoints
+
+g1 = Curve(fq, b_value=3, generator_xy=(1, 2))
+
+
+def random_affine_points(n: int, rng: np.random.Generator) -> AffinePoints:
+    """Seeded random on-curve affine points: random multiples of the
+    generator computed on host (oracle-grade; reference's hash-to-curve
+    random_element is groups/group.hpp:73-114)."""
+    xs, ys = [], []
+    for _ in range(n):
+        k = int.from_bytes(rng.bytes(32), "little") % fr.p
+        if k == 0:
+            k = 1
+        pt = host_curve.g1_mul(host_curve.G1_GENERATOR, k)
+        xs.append(pt[0])
+        ys.append(pt[1])
+    return AffinePoints(fq.encode(xs), fq.encode(ys), jnp.zeros(n, dtype=bool))
+
+
+def points_to_host(p: AffinePoints) -> list:
+    """Affine device batch -> list of host (x, y) tuples / None."""
+    xs = fq.decode(p.x)
+    ys = fq.decode(p.y)
+    infs = np.asarray(p.inf)
+    return [None if i else (x, y) for x, y, i in zip(xs, ys, infs)]
+
+
+def jacobian_to_host(p: JacobianPoints) -> list:
+    return points_to_host(g1.batch_normalize(p))
+
+
+def host_to_affine_points(pts: list) -> AffinePoints:
+    xs = [0 if pt is None else pt[0] for pt in pts]
+    ys = [0 if pt is None else pt[1] for pt in pts]
+    inf = jnp.asarray([pt is None for pt in pts], dtype=bool)
+    return AffinePoints(fq.encode(xs), fq.encode(ys), inf)
+
+
+def scalar_mul(p: AffinePoints, scalar: int) -> JacobianPoints:
+    """Multiply a batch of affine points by one host-known scalar."""
+    scalar = int(scalar) % fr.p
+    if scalar == 0:
+        return g1.infinity(p.x.shape[1:])
+    nbits = scalar.bit_length()
+    bits = jnp.asarray(
+        [[(scalar >> (nbits - 1 - i)) & 1] for i in range(nbits)], dtype=jnp.uint32
+    )
+    bits = jnp.broadcast_to(bits, (nbits, *p.x.shape[1:]))
+    return g1.scalar_mul_bits(p, bits)

@@ -149,10 +149,18 @@ class Field:
     # Add / sub / neg
     # ------------------------------------------------------------------
     def add(self, a, b):
+        if self._pallas_ok(a) and b.shape == a.shape:
+            from ..kernels import field_kernels
+
+            return field_kernels.add(self.params, a, b)
         s = self._ripple(a + b, L)
         return self._cond_sub_p(s)
 
     def sub(self, a, b):
+        if self._pallas_ok(a) and b.shape == a.shape:
+            from ..kernels import field_kernels
+
+            return field_kernels.sub(self.params, a, b)
         borrow = jnp.zeros_like(a[0])
         outs = []
         for i in range(L):
@@ -222,6 +230,15 @@ class Field:
         )  # carry into next column; top carry appended as a fresh column
         return jnp.concatenate([lo, jnp.zeros_like(lo[:1])], axis=0) + shifted
 
+    def _pallas_ok(self, a) -> bool:
+        from .. import config
+
+        return (
+            config.use_pallas()
+            and a.ndim == 2
+            and a.shape[1] >= config.PALLAS_MIN_BATCH
+        )
+
     def mont_mul(self, a, b):
         """Montgomery product a * b * 2^-270 mod p, canonical output.
 
@@ -229,6 +246,10 @@ class Field:
         fields/field_impl_asm.tcc:305): m = T*(-p^-1) mod 2^270, then
         (T + m*p) / 2^270, conditional subtract.
         """
+        if self._pallas_ok(a) and b.shape == a.shape:
+            from ..kernels import field_kernels
+
+            return field_kernels.mont_mul(self.params, a, b)
         t = self._wide_product_cols(a, b)  # (36,) cols < 2^22
         t = self._carry_pass(t)  # (37,) limbs <= 2^15 + 2^7
         m = self._low_product_cols(t[:L], self._nprime_limbs)
@@ -281,6 +302,12 @@ class Field:
     def _one_raw(self):
         # from_montgomery: multiply by 1 (raw) => encode_montgomery(1) = 2^14.
         return jnp.asarray(int_to_limbs(1 << 14))
+
+    def to_plain(self, a):
+        """Internal-Montgomery -> plain canonical limbs of the *value*
+        (for bit extraction: scalar digits, wnaf, serialization)."""
+        one_plain = jnp.asarray(int_to_limbs(1))
+        return self.mont_mul(a, self.full(a.shape[1:], one_plain))
 
     # ------------------------------------------------------------------
     # Predicates

@@ -75,9 +75,23 @@ class Curve:
     # ------------------------------------------------------------------
     # Group law
     # ------------------------------------------------------------------
+    def _pallas_ok(self, p) -> bool:
+        from .. import config
+
+        return (
+            config.use_pallas()
+            and self.f.params.name == "fq"
+            and p.x.ndim == 2
+            and p.x.shape[1] >= config.PALLAS_MIN_BATCH
+        )
+
     def dbl(self, p: JacobianPoints) -> JacobianPoints:
         """Point doubling, dbl-2009-l for a=0 (reference group.hpp:153-217).
         BN254 has prime order so no affine point has y = 0."""
+        if self._pallas_ok(p):
+            from ..kernels import point_kernels
+
+            return point_kernels.dbl(p)
         f = self.f
         a = f.sqr(p.x)
         b = f.sqr(p.y)
@@ -94,6 +108,10 @@ class Curve:
     def add(self, p: JacobianPoints, q: JacobianPoints) -> JacobianPoints:
         """Complete Jacobian addition via mask-merged add/double/infinity
         (reference's branch ladder: group.hpp:324-448)."""
+        if self._pallas_ok(p):
+            from ..kernels import point_kernels
+
+            return point_kernels.add(p, q)
         f = self.f
         z1z1 = f.sqr(p.z)
         z2z2 = f.sqr(q.z)
@@ -131,6 +149,10 @@ class Curve:
 
     def mixed_add(self, p: JacobianPoints, q: AffinePoints) -> JacobianPoints:
         """Jacobian + affine (reference mixed_add_inner, group.hpp:219-303)."""
+        if self._pallas_ok(p):
+            from ..kernels import point_kernels
+
+            return point_kernels.mixed_add(p, q)
         f = self.f
         z1z1 = f.sqr(p.z)
         u2 = f.mul(q.x, z1z1)

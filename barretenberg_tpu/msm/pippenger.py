@@ -1,0 +1,241 @@
+"""Pippenger multi-scalar multiplication on TPU.
+
+Re-design of the reference's bucketed MSM (reference:
+curves/bn254/scalar_multiplication.cpp:576-648 and the bucket-ordered
+"alt_pippenger" design in src/barretenberg/pippenger.md) for a SIMD machine
+with no scatter-accumulate:
+
+  per c-bit window (round):
+    1. sort point indices by bucket digit (the radix-sort formulation of
+       pippenger.md:47-66 - exactly the TPU/GPU-friendly variant);
+    2. accumulate equal-digit runs with a *block-sequential segment scan*:
+       sorted entries are reshaped to (blocks, C) and lax.scan walks the C
+       columns, every block advancing in lockstep on the VPU lanes. Work is
+       N mixed-adds per round (same as the reference's serial bucket
+       accumulation), latency is C steps;
+    3. runs that span block boundaries emit partial sums; the <= 2^c + B
+       emitted partials are compacted by a key sort and merged with a
+       Kogge-Stone segmented scan (log-depth, tiny);
+    4. bucket sums -> window sum via the running-sum identity
+       sum_b b*S_b = sum_{b>=1} suffix_b (reference's bucket concatenation,
+       scalar_multiplication.cpp:628-640), computed with log-depth scans;
+    5. windows combine MSB-first with c doublings per round.
+
+Digits are unsigned c-bit windows of the canonical scalar (no wNAF/GLV yet -
+those halve round count and live in later optimization passes; the wnaf
+module exists for API parity).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..fields import fq, fr
+from ..fields.params import LIMB_BITS, NUM_LIMBS
+from ..groups import AffinePoints, JacobianPoints
+from ..groups.g1 import g1
+
+SCALAR_BITS = 254
+
+
+def scalar_digits(scalars_mont: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Internal-Montgomery Fr scalars (18, N) -> (rounds, N) uint32 c-bit
+    unsigned window digits of the canonical integer value."""
+    value = fr.to_plain(scalars_mont)  # canonical 15-bit limbs of the value
+    n = value.shape[1]
+    limbs = jnp.concatenate([value, jnp.zeros((2, n), dtype=jnp.uint32)], axis=0)
+    rounds = -(-SCALAR_BITS // c)
+    out = []
+    for r in range(rounds):
+        lo = r * c
+        l0, sh = lo // LIMB_BITS, lo % LIMB_BITS
+        d = limbs[l0] >> sh
+        got = LIMB_BITS - sh
+        k = 1
+        while got < c:
+            d = d | (limbs[l0 + k] << got)
+            got += LIMB_BITS
+            k += 1
+        out.append(d & jnp.uint32((1 << c) - 1))
+    return jnp.stack(out)
+
+
+def _ks_segmented_scan(points: JacobianPoints, starts, n: int):
+    """Kogge-Stone inclusive segmented scan of group adds along the batch
+    axis. starts: bool (n,), True at segment starts. Returns scanned points."""
+    levels = max(1, (n - 1).bit_length())
+
+    def level(i, carry):
+        pts, fl = carry
+        d = jnp.int32(1) << i
+        idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        valid = idx >= d
+        sh_x = jnp.roll(pts.x, d, axis=1)
+        sh_y = jnp.roll(pts.y, d, axis=1)
+        sh_z = jnp.roll(pts.z, d, axis=1)
+        sh_inf = jnp.roll(pts.inf, d, axis=0) | ~valid
+        sh_fl = jnp.roll(fl, d, axis=0) & valid
+        shifted = JacobianPoints(sh_x, sh_y, sh_z, sh_inf)
+        summed = g1.add(pts, shifted)
+        keep = fl | ~valid  # at segment start (or oob) keep own value
+        new = g1.select_points(keep, pts, summed)
+        return (new, fl | sh_fl)
+
+    pts, _ = jax.lax.fori_loop(0, levels, level, (points, starts))
+    return pts
+
+
+def _suffix_scan_points(points: JacobianPoints, n: int) -> JacobianPoints:
+    """Inclusive suffix scan (out[i] = sum_{j>=i} in[j]) of group adds."""
+    levels = max(1, (n - 1).bit_length())
+
+    def level(i, pts):
+        d = jnp.int32(1) << i
+        idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        valid = idx < (n - d)
+        sh_x = jnp.roll(pts.x, -d, axis=1)
+        sh_y = jnp.roll(pts.y, -d, axis=1)
+        sh_z = jnp.roll(pts.z, -d, axis=1)
+        sh_inf = jnp.roll(pts.inf, -d, axis=0) | ~valid
+        return g1.add(pts, JacobianPoints(sh_x, sh_y, sh_z, sh_inf))
+
+    return jax.lax.fori_loop(0, levels, level, points)
+
+
+def _take_jacobian(p: JacobianPoints, idx) -> JacobianPoints:
+    return JacobianPoints(
+        jnp.take(p.x, idx, axis=1),
+        jnp.take(p.y, idx, axis=1),
+        jnp.take(p.z, idx, axis=1),
+        jnp.take(p.inf, idx, axis=0),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("c", "block"))
+def pippenger(
+    scalars_mont: jnp.ndarray,
+    points: AffinePoints,
+    c: int = 8,
+    block: int = 128,
+) -> JacobianPoints:
+    """MSM: sum_i scalars[i] * points[i] -> JacobianPoints batch (1,).
+
+    scalars_mont: (18, N) internal-Montgomery Fr values (matching the
+    reference pippenger's from-Montgomery conversion on entry,
+    scalar_multiplication.cpp:457-476). points: affine batch (N).
+    """
+    n = scalars_mont.shape[1]
+    # pad N to a multiple of block
+    npad = -(-n // block) * block
+    if npad != n:
+        pad = npad - n
+        scalars_mont = jnp.pad(scalars_mont, ((0, 0), (0, pad)))
+        points = AffinePoints(
+            jnp.pad(points.x, ((0, 0), (0, pad))),
+            jnp.pad(points.y, ((0, 0), (0, pad))),
+            jnp.pad(points.inf, (0, pad), constant_values=True),
+        )
+    n = npad
+    nblocks = n // block
+    digits = scalar_digits(scalars_mont, c)  # (rounds, n)
+    rounds = digits.shape[0]
+    nbuckets = 1 << c
+    # max live segments after block split (clamped for tiny inputs)
+    k_partials = min(nbuckets + nblocks, nblocks * (block + 1))
+
+    def round_fn(r, acc):
+        d = digits[rounds - 1 - r]
+        order = jnp.argsort(d)
+        ds = jnp.take(d, order)
+        pts = g1.take_affine(points, order)
+
+        # ---- phase A: block-sequential segment accumulation -------------
+        ds_cols = ds.reshape(nblocks, block).T  # (C, B)
+        px = pts.x.reshape(NUM_LIMBS, nblocks, block).transpose(2, 0, 1)
+        py = pts.y.reshape(NUM_LIMBS, nblocks, block).transpose(2, 0, 1)
+        pinf = pts.inf.reshape(nblocks, block).T
+
+        def col_step(carry, xs):
+            acc_pt, cur_d = carry
+            dj, xj, yj, infj = xs
+            same = dj == cur_d
+            aff = AffinePoints(xj, yj, infj)
+            added = g1.mixed_add(acc_pt, aff)
+            fresh = g1.to_jacobian(aff)
+            new_acc = g1.select_points(same, added, fresh)
+            emit = ~same
+            out = (emit, cur_d, acc_pt)
+            return (new_acc, dj), out
+
+        init = (g1.infinity((nblocks,)), ds_cols[0])
+        (final_acc, final_d), (em_f, em_d, em_p) = jax.lax.scan(
+            col_step, init, (ds_cols, px, py, pinf)
+        )
+        # append final segment of each block
+        em_f = jnp.concatenate([em_f, jnp.ones((1, nblocks), dtype=bool)])
+        em_d = jnp.concatenate([em_d, final_d[None]])
+        # ys arrive stacked on a leading steps axis: coords (steps, 18, B)
+        em_p = JacobianPoints(
+            jnp.concatenate([em_p.x, final_acc.x[None]], axis=0),
+            jnp.concatenate([em_p.y, final_acc.y[None]], axis=0),
+            jnp.concatenate([em_p.z, final_acc.z[None]], axis=0),
+            jnp.concatenate([em_p.inf, final_acc.inf[None]], axis=0),
+        )
+        # flatten block-major so digits stay globally sorted
+        steps = block + 1
+        em_f = em_f.T.reshape(nblocks * steps)
+        em_d = em_d.T.reshape(nblocks * steps)
+        em_p = JacobianPoints(
+            em_p.x.transpose(1, 2, 0).reshape(NUM_LIMBS, nblocks * steps),
+            em_p.y.transpose(1, 2, 0).reshape(NUM_LIMBS, nblocks * steps),
+            em_p.z.transpose(1, 2, 0).reshape(NUM_LIMBS, nblocks * steps),
+            em_p.inf.T.reshape(nblocks * steps),
+        )
+
+        # ---- compaction: emitted entries to the front, keep order -------
+        pos = jax.lax.broadcasted_iota(
+            jnp.uint32, (nblocks * steps, 1), 0
+        ).squeeze(-1)
+        key = jnp.where(em_f, pos, jnp.uint32(1 << 30) | pos)
+        corder = jnp.argsort(key)[:k_partials]
+        cd = jnp.where(
+            jnp.take(em_f, corder), jnp.take(em_d, corder), jnp.uint32(nbuckets)
+        )
+        cp = _take_jacobian(em_p, corder)
+        cp = JacobianPoints(cp.x, cp.y, cp.z, cp.inf | (cd == nbuckets))
+
+        # ---- phase B: merge equal-digit partials (log depth) ------------
+        prev_d = jnp.roll(cd, 1)
+        starts = jnp.concatenate(
+            [jnp.ones((1,), dtype=bool), (cd != prev_d)[1:]]
+        )
+        merged = _ks_segmented_scan(cp, starts, k_partials)
+        next_d = jnp.roll(cd, -1)
+        is_end = jnp.concatenate(
+            [(cd != next_d)[:-1], jnp.ones((1,), dtype=bool)]
+        )
+
+        # ---- scatter bucket sums ----------------------------------------
+        live = is_end & (cd >= 1) & (cd < nbuckets)
+        bidx = jnp.where(live, cd, jnp.uint32(nbuckets))
+        binit = g1.infinity((nbuckets + 1,))
+        buckets = JacobianPoints(
+            binit.x.at[:, bidx].set(merged.x),
+            binit.y.at[:, bidx].set(merged.y),
+            binit.z.at[:, bidx].set(merged.z),
+            binit.inf.at[bidx].set(merged.inf | ~live),
+        )
+        buckets = _take_jacobian(buckets, jnp.arange(1, nbuckets))
+
+        # ---- window sum: sum_b b*S_b = sum of suffix sums ----------------
+        suffix = _suffix_scan_points(buckets, nbuckets - 1)
+        total = _take_jacobian(_suffix_scan_points(suffix, nbuckets - 1), jnp.array([0]))
+
+        # ---- combine into accumulator: acc = 2^c * acc + W ---------------
+        acc = jax.lax.fori_loop(0, c, lambda _, a: g1.dbl(a), acc)
+        return g1.add(acc, total)
+
+    return jax.lax.fori_loop(0, rounds, round_fn, g1.infinity((1,)))

@@ -1,0 +1,50 @@
+"""Pippenger MSM vs naive oracle (reference:
+test/test_scalar_multiplication.cpp:72-271 pattern: every fast-path variant
+is checked against naive accumulation).
+
+All tests share one (n, c, block) configuration so the CPU test run compiles
+the MSM graph exactly once (cached in .jax_cache thereafter).
+"""
+
+import numpy as np
+import pytest
+
+from barretenberg_tpu.fields import fr
+from barretenberg_tpu.groups.g1 import (
+    jacobian_to_host,
+    points_to_host,
+    random_affine_points,
+)
+from barretenberg_tpu.msm import pippenger
+from barretenberg_tpu.utils import host_curve
+
+N, C, BLOCK = 64, 8, 16
+
+
+@pytest.fixture(scope="module")
+def points():
+    return random_affine_points(N, np.random.default_rng(21))
+
+
+def run(points, scalars):
+    res = jacobian_to_host(pippenger(fr.encode(scalars), points, c=C, block=BLOCK))
+    return res[0]
+
+
+def test_pippenger_vs_oracle(points):
+    rng = np.random.default_rng(31)
+    scalars = [int.from_bytes(rng.bytes(32), "little") % fr.p for _ in range(N)]
+    assert run(points, scalars) == host_curve.g1_msm(points_to_host(points), scalars)
+
+
+def test_pippenger_edge_scalars(points):
+    rng = np.random.default_rng(32)
+    scalars = [0, 1, fr.p - 1, 2, 3, 0, fr.p - 1, 1] + [
+        int.from_bytes(rng.bytes(32), "little") % fr.p for _ in range(N - 8)
+    ]
+    assert run(points, scalars) == host_curve.g1_msm(points_to_host(points), scalars)
+
+
+def test_pippenger_all_zero(points):
+    res = pippenger(fr.encode([0] * N), points, c=C, block=BLOCK)
+    assert bool(res.inf.all())

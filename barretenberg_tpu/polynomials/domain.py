@@ -1,0 +1,88 @@
+"""Evaluation domains over Fr with device twiddle tables.
+
+Mirrors the reference's evaluation_domain (reference:
+polynomials/evaluation_domain.{hpp,cpp}) but the precomputed root tables are
+device arrays: one power table of the domain root (k < n/2) serves every FFT
+stage as a strided slice, instead of the reference's per-round tables. The
+thread bookkeeping (num_threads/thread_size) has no TPU analog - lane
+parallelism is implicit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import fr
+
+
+class EvaluationDomain:
+    def __init__(self, size: int):
+        assert size & (size - 1) == 0, "domain size must be a power of two"
+        self.size = size
+        self.log2_size = size.bit_length() - 1
+        self.root = fr.get_root_of_unity(self.log2_size)  # host int value
+        self.root_inverse = pow(self.root, -1, fr.p)
+        self.domain_inverse = pow(size, -1, fr.p)
+        self.generator = fr.params.multiplicative_generator  # 5
+        self.generator_inverse = pow(self.generator, -1, fr.p)
+
+    # ------------------------------------------------------------------
+    # Device tables (built lazily, cached)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _power_table(base_value: int, n: int) -> jnp.ndarray:
+        """(18, n) internal-Montgomery table of base^k for k < n, built by
+        log-doubling on device (n-1 multiplies total, log n kernel calls)."""
+        table = fr.encode([1])
+        k = 1
+        while k < n:
+            step = min(k, n - k)
+            factor = pow(base_value, k, fr.p)
+            ext = fr.mul_by_constant(table[:, :step], factor)
+            table = jnp.concatenate([table, ext], axis=1)
+            k += step
+        return table
+
+    @functools.cached_property
+    def twiddles(self) -> jnp.ndarray:
+        """omega^k for k < n/2 (covers all forward FFT stages)."""
+        return self._power_table(self.root, max(1, self.size // 2))
+
+    @functools.cached_property
+    def inverse_twiddles(self) -> jnp.ndarray:
+        return self._power_table(self.root_inverse, max(1, self.size // 2))
+
+    @functools.cached_property
+    def coset_scale(self) -> jnp.ndarray:
+        """g^j for j < n (coset_fft input scaling)."""
+        return self._power_table(self.generator, self.size)
+
+    @functools.cached_property
+    def coset_scale_inverse(self) -> jnp.ndarray:
+        return self._power_table(self.generator_inverse, self.size)
+
+    @functools.cached_property
+    def bit_reverse_indices(self) -> jnp.ndarray:
+        n, bits = self.size, self.log2_size
+        idx = np.arange(n, dtype=np.uint32)
+        rev = np.zeros_like(idx)
+        for b in range(bits):
+            rev |= ((idx >> b) & 1) << (bits - 1 - b)
+        return jnp.asarray(rev.astype(np.int32))
+
+    def root_vector(self) -> jnp.ndarray:
+        """(18, n) table of omega^k for k < n = [twiddles, -twiddles]."""
+        t = self.twiddles
+        return jnp.concatenate([t, fr.neg(t)], axis=1)
+
+    def coset_root_vector(self) -> jnp.ndarray:
+        """(18, n) table of g * omega^k (the coset evaluation points)."""
+        return fr.mul_by_constant(self.root_vector(), self.generator)
+
+
+@functools.lru_cache(maxsize=None)
+def get_domain(size: int) -> EvaluationDomain:
+    return EvaluationDomain(size)

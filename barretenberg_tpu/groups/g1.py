@@ -51,6 +51,37 @@ def host_to_affine_points(pts: list) -> AffinePoints:
     return AffinePoints(fq.encode(xs), fq.encode(ys), inf)
 
 
+def scalars_to_bits_msb(scalars: list, nbits: int = 254) -> jnp.ndarray:
+    """Host ints -> (nbits, N) uint32 MSB-first bit array, vectorized."""
+    n = len(scalars)
+    buf = np.frombuffer(
+        b"".join(int(s).to_bytes(32, "big") for s in scalars), dtype=np.uint8
+    ).reshape(n, 32)
+    bits = np.unpackbits(buf, axis=1)  # (N, 256) MSB-first
+    return jnp.asarray(bits[:, 256 - nbits :].T.astype(np.uint32))
+
+
+import jax as _jax
+
+
+@_jax.jit
+def _multi_scalar_gen(bits: jnp.ndarray) -> AffinePoints:
+    n = bits.shape[1]
+    jac = g1.scalar_mul_bits(g1.generator((n,)), bits)
+    return g1.batch_normalize(jac)
+
+
+def random_points_device(n: int, rng: np.random.Generator) -> AffinePoints:
+    """n random multiples of the generator, computed as ONE vectorized
+    double-and-add sweep on device (the bulk analog of
+    random_affine_points; O(254) steps for any n)."""
+    scalars = [
+        int.from_bytes(rng.bytes(32), "little") % fr.p or 1 for _ in range(n)
+    ]
+    bits = scalars_to_bits_msb(scalars)
+    return _multi_scalar_gen(bits)
+
+
 def scalar_mul(p: AffinePoints, scalar: int) -> JacobianPoints:
     """Multiply a batch of affine points by one host-known scalar."""
     scalar = int(scalar) % fr.p

@@ -1,0 +1,41 @@
+"""Sigma permutation polynomials in Lagrange base, on device.
+
+Reference: waffle/proof_system/permutation.hpp:13-89. The reference walks the
+mapping with a branchy per-element root lookup + conditional negate; here the
+whole polynomial is one gather from the domain's root-of-unity table followed
+by a masked multiply with the coset shifts {1, k1, k2}.
+
+Mapping encoding (composer_base.hpp:72-77): low 28 bits = gate index,
+bits 30/31 = wire column (0 left, 1 right, 2 output).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import fr
+from ..polynomials.domain import EvaluationDomain
+
+WIRE_MASK = (1 << 29) - 1
+
+
+def compute_permutation_lagrange_base(
+    mapping: np.ndarray, domain: EvaluationDomain
+) -> jnp.ndarray:
+    """mapping: uint32 (n,) host array -> (18, n) sigma evaluations."""
+    mapping = np.asarray(mapping, dtype=np.uint64)
+    idx = (mapping & WIRE_MASK).astype(np.int32)
+    col = (mapping >> 30).astype(np.int32)
+
+    roots = domain.root_vector()  # (18, n) table of w^k
+    sigma = jnp.take(roots, jnp.asarray(idx), axis=1)
+
+    k1 = fr.params.multiplicative_generator
+    k2 = fr.params.alternate_multiplicative_generator
+    # Per-lane coset shift: 1, k1 or k2 (values).
+    shift_vals = np.ones(mapping.shape[0], dtype=object)
+    shift_vals[col == 1] = k1
+    shift_vals[col == 2] = k2
+    shifts = fr.encode(list(shift_vals))
+    return fr.mont_mul(sigma, shifts)

@@ -32,6 +32,6 @@ k = 0xDEADBEEFCAFEF00D
 print("TPU scalar_mul matches host:", jacobian_to_host(scalar_mul(g1.generator((1,)), k))[0] == host_curve.g1_mul(host_curve.G1_GENERATOR, k), flush=True)
 # probe: P + (-P) -> infinity lane, and infinity propagates through normalize
 j = g1.to_jacobian(a)
-res = g1.add(j, g1.neg(j))
+res = jax.jit(lambda pj: g1.add(pj, g1.neg(pj)))(j)
 print("P+(-P) all infinity:", bool(res.inf.all()), "normalized:", jacobian_to_host(res), flush=True)
 print("done2", flush=True)

@@ -82,6 +82,23 @@ class StandardComposer(ComposerBase):
     def get_num_constant_gates(self) -> int:
         return 2
 
+    def check_circuit(self) -> bool:
+        """Host-side satisfiability check of every arithmetic gate - the
+        cheap gadget-debugging oracle (no proving)."""
+        for i in range(self.n):
+            wl = self.variables[self.w_l[i]]
+            wr = self.variables[self.w_r[i]]
+            wo = self.variables[self.w_o[i]]
+            if (
+                self.q_m[i] * wl % P * wr
+                + self.q_l[i] * wl
+                + self.q_r[i] * wr
+                + self.q_o[i] * wo
+                + self.q_c[i]
+            ) % P != 0:
+                return False
+        return True
+
     # ------------------------------------------------------------------
     def preprocess(self, reference_string=None) -> Prover:
         """(standard_composer.cpp:167-220). Pads n -> 2^k (with one extra

@@ -74,6 +74,7 @@ class Field:
         self.one = self.const(1)
         self.zero = self.const(0)
         self.modulus_limbs = jnp.asarray(self._p_limbs)
+        self._pow_jit_cache: dict = {}
 
     # ------------------------------------------------------------------
     # Encoding
@@ -122,26 +123,56 @@ class Field:
     def _ripple(cols, out_len: int):
         """Exact sequential carry propagation. cols: (K, *b) relaxed columns.
         Returns (out_len, *b) normalized 15-bit limbs. Assumes the value fits.
+
+        Dual-mode: under a trace the chain is a lax.scan over the limb axis
+        (18 unrolled steps per field op made jitted graphs ~7x bigger, which
+        dominated XLA compile time); eagerly it is an unrolled Python loop
+        (eager scans execute step-by-step and are ~100x slower to dispatch).
         """
         k = cols.shape[0]
-        carry = jnp.zeros_like(cols[0])
-        outs = []
-        for i in range(out_len):
-            v = (cols[i] if i < k else jnp.zeros_like(carry)) + carry
-            outs.append(v & LIMB_MASK)
-            carry = v >> LIMB_BITS
-        return jnp.stack(outs)
+        if not isinstance(cols, jax.core.Tracer):
+            carry = jnp.zeros_like(cols[0])
+            outs = []
+            for i in range(out_len):
+                v = (cols[i] if i < k else jnp.zeros_like(carry)) + carry
+                outs.append(v & LIMB_MASK)
+                carry = v >> LIMB_BITS
+            return jnp.stack(outs)
+        if k < out_len:
+            cols = jnp.concatenate(
+                [cols, jnp.zeros((out_len - k, *cols.shape[1:]), cols.dtype)]
+            )
+        elif k > out_len:
+            cols = cols[:out_len]
+
+        def step(carry, c):
+            v = c + carry
+            return v >> LIMB_BITS, v & LIMB_MASK
+
+        _, outs = jax.lax.scan(step, jnp.zeros_like(cols[0]), cols)
+        return outs
 
     def _cond_sub_p(self, a):
         """a (normalized, < 2p) -> a mod p canonical."""
-        p = self._p_limbs
-        borrow = jnp.zeros_like(a[0])
-        outs = []
-        for i in range(L):
-            v = a[i] + _u32(LIMB_MASK + 1 - int(p[i])) - borrow
-            outs.append(v & LIMB_MASK)
-            borrow = _u32(1) - (v >> LIMB_BITS)
-        d = jnp.stack(outs)
+        if not isinstance(a, jax.core.Tracer):
+            p = self._p_limbs
+            borrow = jnp.zeros_like(a[0])
+            outs = []
+            for i in range(L):
+                v = a[i] + _u32(LIMB_MASK + 1 - int(p[i])) - borrow
+                outs.append(v & LIMB_MASK)
+                borrow = _u32(1) - (v >> LIMB_BITS)
+            d = jnp.stack(outs)
+            ge_p = borrow == 0
+            return jnp.where(ge_p[None], d, a)
+        pl = jnp.asarray(self._p_limbs).astype(jnp.uint32)
+
+        def step(borrow, xs):
+            ai, pi = xs
+            v = ai + (_u32(LIMB_MASK + 1) - pi) - borrow
+            return _u32(1) - (v >> LIMB_BITS), v & LIMB_MASK
+
+        borrow, d = jax.lax.scan(step, jnp.zeros_like(a[0]), (a, pl))
         ge_p = borrow == 0  # no final borrow => a >= p
         return jnp.where(ge_p[None], d, a)
 
@@ -156,31 +187,43 @@ class Field:
         s = self._ripple(a + b, L)
         return self._cond_sub_p(s)
 
+    @staticmethod
+    def _borrow_sub(a, b):
+        """Limb-wise a - b with sequential borrow (scan under trace, unrolled
+        eagerly - see _ripple). Returns (difference limbs, final borrow)."""
+        if not isinstance(a, jax.core.Tracer) and not isinstance(
+            b, jax.core.Tracer
+        ):
+            borrow = jnp.zeros_like(a[0])
+            outs = []
+            for i in range(L):
+                v = a[i] + _u32(LIMB_MASK + 1) - b[i] - borrow
+                outs.append(v & LIMB_MASK)
+                borrow = _u32(1) - (v >> LIMB_BITS)
+            return jnp.stack(outs), borrow
+
+        def step(borrow, xs):
+            ai, bi = xs
+            v = ai + _u32(LIMB_MASK + 1) - bi - borrow
+            return _u32(1) - (v >> LIMB_BITS), v & LIMB_MASK
+
+        borrow, d = jax.lax.scan(step, jnp.zeros_like(a[0]), (a, b))
+        return d, borrow
+
     def sub(self, a, b):
         if self._pallas_ok(a) and b.shape == a.shape:
             from ..kernels import field_kernels
 
             return field_kernels.sub(self.params, a, b)
-        borrow = jnp.zeros_like(a[0])
-        outs = []
-        for i in range(L):
-            v = a[i] + _u32(LIMB_MASK + 1) - b[i] - borrow
-            outs.append(v & LIMB_MASK)
-            borrow = _u32(1) - (v >> LIMB_BITS)
-        d = jnp.stack(outs)
+        b = jnp.broadcast_to(b, a.shape) if b.shape != a.shape else b
+        d, borrow = self._borrow_sub(a, b)
         underflow = borrow == 1
         e = self._ripple(d + self.full(a.shape[1:], self.modulus_limbs), L)
         return jnp.where(underflow[None], e, d)
 
     def neg(self, a):
         p = self.full(a.shape[1:], self.modulus_limbs)
-        borrow = jnp.zeros_like(a[0])
-        outs = []
-        for i in range(L):
-            v = p[i] + _u32(LIMB_MASK + 1) - a[i] - borrow
-            outs.append(v & LIMB_MASK)
-            borrow = _u32(1) - (v >> LIMB_BITS)
-        d = jnp.stack(outs)
+        d, _ = self._borrow_sub(p, a)
         return self._cond_sub_p(d)  # maps a=0 -> p -> 0
 
     def double(self, a):
@@ -258,9 +301,16 @@ class Field:
         s = jnp.concatenate([u, jnp.zeros_like(u[:1])], axis=0) + t  # (37,)
         # Exact division by 2^270: low 18 normalized digits are zero, so only
         # the carry out of column 17 survives.
-        carry = jnp.zeros_like(s[0])
-        for i in range(L):
-            carry = (s[i] + carry) >> LIMB_BITS
+        if not isinstance(s, jax.core.Tracer):
+            carry = jnp.zeros_like(s[0])
+            for i in range(L):
+                carry = (s[i] + carry) >> LIMB_BITS
+        else:
+
+            def carry_step(carry, c):
+                return (c + carry) >> LIMB_BITS, None
+
+            carry, _ = jax.lax.scan(carry_step, jnp.zeros_like(s[0]), s[:L])
         hi = s[L:]  # (19,) columns
         hi = hi.at[0].add(carry)
         r = self._ripple(hi, L)
@@ -329,7 +379,19 @@ class Field:
     # ------------------------------------------------------------------
     def pow_static(self, a, exponent: int):
         """a^exponent for a host-known integer exponent (square & multiply
-        via lax.scan over the exponent bits, MSB first)."""
+        via lax.scan over the exponent bits, MSB first). Jit-compiled when
+        called eagerly - an eager 254-step scan dispatches every primitive
+        separately."""
+        if not isinstance(a, jax.core.Tracer):
+            key = (exponent, a.shape)
+            fn = self._pow_jit_cache.get(key)
+            if fn is None:
+                fn = jax.jit(functools.partial(self._pow_static_impl, exponent=exponent))
+                self._pow_jit_cache[key] = fn
+            return fn(a)
+        return self._pow_static_impl(a, exponent=exponent)
+
+    def _pow_static_impl(self, a, exponent: int):
         if exponent == 0:
             return self.full(a.shape[1:], self.one)
         nbits = exponent.bit_length()

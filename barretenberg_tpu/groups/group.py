@@ -14,6 +14,7 @@ that encoding only exists at serialization boundaries here.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -203,7 +204,17 @@ class Curve:
     # ------------------------------------------------------------------
     def batch_normalize(self, p: JacobianPoints) -> AffinePoints:
         """Jacobian -> affine via Montgomery batch inversion of z
-        (reference group.hpp:474-534)."""
+        (reference group.hpp:474-534). Jit-compiled on eager entry (the
+        inner Fermat inversion is a 254-step scan)."""
+        if not isinstance(p.x, jax.core.Tracer):
+            return self._batch_normalize_jit(p)
+        return self._batch_normalize_impl(p)
+
+    @functools.cached_property
+    def _batch_normalize_jit(self):
+        return jax.jit(self._batch_normalize_impl)
+
+    def _batch_normalize_impl(self, p: JacobianPoints) -> AffinePoints:
         f = self.f
         one = f.full(p.z.shape[1:], f.one)
         z = f.select(p.inf, one, p.z)
@@ -243,7 +254,14 @@ class Curve:
     # ------------------------------------------------------------------
     def scalar_mul_bits(self, p: AffinePoints, bits: jnp.ndarray) -> JacobianPoints:
         """Double-and-add over an MSB-first bit array (reference
-        group.hpp:608-650). bits: (nbits, *batch) uint32 in {0,1}."""
+        group.hpp:608-650). bits: (nbits, *batch) uint32 in {0,1}.
+        Always jit-compiled: an eager 254-step scan of point ops would
+        dispatch each primitive separately (minutes on a remote TPU)."""
+        if not isinstance(p.x, jax.core.Tracer):
+            return self._scalar_mul_bits_jit(p, bits)
+        return self._scalar_mul_bits(p, bits)
+
+    def _scalar_mul_bits(self, p: AffinePoints, bits: jnp.ndarray) -> JacobianPoints:
         acc = self.infinity(p.x.shape[1:])
 
         def body(acc, bit):
@@ -257,6 +275,10 @@ class Curve:
 
         acc, _ = jax.lax.scan(body, acc, bits)
         return acc
+
+    @functools.cached_property
+    def _scalar_mul_bits_jit(self):
+        return jax.jit(self._scalar_mul_bits)
 
     # ------------------------------------------------------------------
     # Gather / select helpers for MSM

@@ -1,29 +1,32 @@
-"""Pippenger multi-scalar multiplication on TPU.
+"""Pippenger multi-scalar multiplication on TPU, with GLV + signed windows.
 
 Re-design of the reference's bucketed MSM (reference:
 curves/bn254/scalar_multiplication.cpp:576-648 and the bucket-ordered
 "alt_pippenger" design in src/barretenberg/pippenger.md) for a SIMD machine
 with no scatter-accumulate:
 
-  per c-bit window (round):
-    1. sort point indices by bucket digit (the radix-sort formulation of
-       pippenger.md:47-66 - exactly the TPU/GPU-friendly variant);
-    2. accumulate equal-digit runs with a *block-sequential segment scan*:
+  0. every scalar is GLV-split on device into two 128-bit halves
+     (msm/wnaf.py; reference fields/field.hpp:413-485) and every point is
+     paired with its endomorphism image (beta*x, -y) (the analog of
+     generate_pippenger_point_table, scalar_multiplication.cpp:131-140);
+     digits are signed c-bit windows, so a round has 2^(c-1) buckets and
+     there are ceil(128/c)+1 rounds over 2N entries - ~2.4x less bucket work
+     than unsigned 254-bit windows;
+  per round (MSB-first):
+    1. sort entry indices by bucket = |digit| - 1 (the radix-sort formulation
+       of pippenger.md:47-66 - exactly the TPU/GPU-friendly variant), with
+       per-entry conditional negation for digit < 0 (the cmov of
+       group_impl_asm.tcc:71-104 as a lane select);
+    2. accumulate equal-bucket runs with a *block-sequential segment scan*:
        sorted entries are reshaped to (blocks, C) and lax.scan walks the C
-       columns, every block advancing in lockstep on the VPU lanes. Work is
-       N mixed-adds per round (same as the reference's serial bucket
-       accumulation), latency is C steps;
-    3. runs that span block boundaries emit partial sums; the <= 2^c + B
-       emitted partials are compacted by a key sort and merged with a
-       Kogge-Stone segmented scan (log-depth, tiny);
+       columns, every block advancing in lockstep on the VPU lanes;
+    3. runs that span block boundaries emit partial sums; the emitted
+       partials are compacted by a key sort and merged with a Kogge-Stone
+       segmented scan (log-depth, tiny);
     4. bucket sums -> window sum via the running-sum identity
-       sum_b b*S_b = sum_{b>=1} suffix_b (reference's bucket concatenation,
+       sum_m m*S_m = sum of suffix sums (reference's bucket concatenation,
        scalar_multiplication.cpp:628-640), computed with log-depth scans;
     5. windows combine MSB-first with c doublings per round.
-
-Digits are unsigned c-bit windows of the canonical scalar (no wNAF/GLV yet -
-those halve round count and live in later optimization passes; the wnaf
-module exists for API parity).
 """
 
 from __future__ import annotations
@@ -37,13 +40,15 @@ from ..fields import fq, fr
 from ..fields.params import LIMB_BITS, NUM_LIMBS
 from ..groups import AffinePoints, JacobianPoints
 from ..groups.g1 import g1
+from .wnaf import signed_digits, split_scalars
 
 SCALAR_BITS = 254
 
 
 def scalar_digits(scalars_mont: jnp.ndarray, c: int) -> jnp.ndarray:
     """Internal-Montgomery Fr scalars (18, N) -> (rounds, N) uint32 c-bit
-    unsigned window digits of the canonical integer value."""
+    unsigned window digits of the canonical integer value (used by the
+    naive double-and-add oracle)."""
     value = fr.to_plain(scalars_mont)  # canonical 15-bit limbs of the value
     n = value.shape[1]
     limbs = jnp.concatenate([value, jnp.zeros((2, n), dtype=jnp.uint32)], axis=0)
@@ -61,6 +66,17 @@ def scalar_digits(scalars_mont: jnp.ndarray, c: int) -> jnp.ndarray:
             k += 1
         out.append(d & jnp.uint32((1 << c) - 1))
     return jnp.stack(out)
+
+
+def optimal_window(n: int) -> int:
+    """Window width heuristic (the reference tunes widths 12/15/18 on x86,
+    scalar_multiplication.cpp:21-81; TPU's sort-dominated rounds favor
+    smaller tables)."""
+    if n <= 1 << 12:
+        return 8
+    if n <= 1 << 16:
+        return 10
+    return 13
 
 
 def _ks_segmented_scan(points: JacobianPoints, starts, n: int):
@@ -114,11 +130,151 @@ def _take_jacobian(p: JacobianPoints, idx) -> JacobianPoints:
     )
 
 
+def _accumulate_window(
+    bucket_idx, pts: AffinePoints, nbuckets: int, block: int
+) -> JacobianPoints:
+    """One Pippenger round body: segment-accumulate entries (sorted by
+    bucket) into buckets and return the window sum sum_m (m+1)*S_m.
+
+    bucket_idx: (M,) uint32, == nbuckets for dead entries. pts: (M,) affine.
+    M must be a multiple of block.
+    """
+    m_total = bucket_idx.shape[0]
+    nblocks = m_total // block
+    k_partials = min(nbuckets + nblocks, nblocks * (block + 1))
+
+    order = jnp.argsort(bucket_idx)
+    ds = jnp.take(bucket_idx, order)
+    spts = g1.take_affine(pts, order)
+
+    # ---- phase A: block-sequential segment accumulation -------------
+    ds_cols = ds.reshape(nblocks, block).T  # (C, B)
+    px = spts.x.reshape(NUM_LIMBS, nblocks, block).transpose(2, 0, 1)
+    py = spts.y.reshape(NUM_LIMBS, nblocks, block).transpose(2, 0, 1)
+    pinf = spts.inf.reshape(nblocks, block).T
+
+    def col_step(carry, xs):
+        acc_pt, cur_d = carry
+        dj, xj, yj, infj = xs
+        same = dj == cur_d
+        aff = AffinePoints(xj, yj, infj)
+        added = g1.mixed_add(acc_pt, aff)
+        fresh = g1.to_jacobian(aff)
+        new_acc = g1.select_points(same, added, fresh)
+        emit = ~same
+        out = (emit, cur_d, acc_pt)
+        return (new_acc, dj), out
+
+    init = (g1.infinity((nblocks,)), ds_cols[0])
+    (final_acc, final_d), (em_f, em_d, em_p) = jax.lax.scan(
+        col_step, init, (ds_cols, px, py, pinf)
+    )
+    # append final segment of each block
+    em_f = jnp.concatenate([em_f, jnp.ones((1, nblocks), dtype=bool)])
+    em_d = jnp.concatenate([em_d, final_d[None]])
+    em_p = JacobianPoints(
+        jnp.concatenate([em_p.x, final_acc.x[None]], axis=0),
+        jnp.concatenate([em_p.y, final_acc.y[None]], axis=0),
+        jnp.concatenate([em_p.z, final_acc.z[None]], axis=0),
+        jnp.concatenate([em_p.inf, final_acc.inf[None]], axis=0),
+    )
+    # flatten block-major so digits stay globally sorted
+    steps = block + 1
+    em_f = em_f.T.reshape(nblocks * steps)
+    em_d = em_d.T.reshape(nblocks * steps)
+    em_p = JacobianPoints(
+        em_p.x.transpose(1, 2, 0).reshape(NUM_LIMBS, nblocks * steps),
+        em_p.y.transpose(1, 2, 0).reshape(NUM_LIMBS, nblocks * steps),
+        em_p.z.transpose(1, 2, 0).reshape(NUM_LIMBS, nblocks * steps),
+        em_p.inf.T.reshape(nblocks * steps),
+    )
+
+    # ---- compaction: emitted entries to the front, keep order -------
+    pos = jax.lax.broadcasted_iota(jnp.uint32, (nblocks * steps, 1), 0).squeeze(-1)
+    key = jnp.where(em_f, pos, jnp.uint32(1 << 30) | pos)
+    corder = jnp.argsort(key)[:k_partials]
+    cd = jnp.where(
+        jnp.take(em_f, corder), jnp.take(em_d, corder), jnp.uint32(nbuckets)
+    )
+    cp = _take_jacobian(em_p, corder)
+    cp = JacobianPoints(cp.x, cp.y, cp.z, cp.inf | (cd == nbuckets))
+
+    # ---- phase B: merge equal-bucket partials (log depth) ------------
+    prev_d = jnp.roll(cd, 1)
+    starts = jnp.concatenate([jnp.ones((1,), dtype=bool), (cd != prev_d)[1:]])
+    merged = _ks_segmented_scan(cp, starts, k_partials)
+    next_d = jnp.roll(cd, -1)
+    is_end = jnp.concatenate([(cd != next_d)[:-1], jnp.ones((1,), dtype=bool)])
+
+    # ---- scatter bucket sums ------------------------------------------
+    live = is_end & (cd < nbuckets)
+    bidx = jnp.where(live, cd, jnp.uint32(nbuckets))
+    binit = g1.infinity((nbuckets + 1,))
+    buckets = JacobianPoints(
+        binit.x.at[:, bidx].set(merged.x),
+        binit.y.at[:, bidx].set(merged.y),
+        binit.z.at[:, bidx].set(merged.z),
+        binit.inf.at[bidx].set(merged.inf | ~live),
+    )
+    buckets = _take_jacobian(buckets, jnp.arange(nbuckets))
+
+    # ---- window sum: sum_m (m+1)*S_m = sum of suffix sums ---------------
+    suffix = _suffix_scan_points(buckets, nbuckets)
+    return _take_jacobian(_suffix_scan_points(suffix, nbuckets), jnp.array([0]))
+
+
 @functools.partial(jax.jit, static_argnames=("c", "block"))
+def _pippenger_impl(
+    scalars_mont: jnp.ndarray,
+    points: AffinePoints,
+    c: int,
+    block: int,
+) -> JacobianPoints:
+    n = scalars_mont.shape[1]
+    # GLV split + endo point table (scalar_multiplication.cpp:131-140):
+    # k*P = k1*P + k2*(beta*x, -y)
+    k1, k2 = split_scalars(scalars_mont)
+    d1 = signed_digits(k1, c)  # (R, N) int32
+    d2 = signed_digits(k2, c)
+    digits = jnp.concatenate([d1, d2], axis=1)  # (R, 2N)
+    beta_x = fq.mul_by_constant(points.x, fq.params.cube_root)
+    px = jnp.concatenate([points.x, beta_x], axis=1)
+    py = jnp.concatenate([points.y, fq.neg(points.y)], axis=1)
+    pinf = jnp.concatenate([points.inf, points.inf], axis=0)
+    neg_py = fq.neg(py)
+
+    m_total = 2 * n
+    npad = -(-m_total // block) * block
+    pad = npad - m_total
+    if pad:
+        digits = jnp.pad(digits, ((0, 0), (0, pad)))
+        px = jnp.pad(px, ((0, 0), (0, pad)))
+        py = jnp.pad(py, ((0, 0), (0, pad)))
+        neg_py = jnp.pad(neg_py, ((0, 0), (0, pad)))
+        pinf = jnp.pad(pinf, (0, pad), constant_values=True)
+
+    rounds = digits.shape[0]
+    nbuckets = 1 << (c - 1)
+
+    def round_fn(r, acc):
+        d = digits[rounds - 1 - r]
+        negate = d < 0
+        mag = jnp.abs(d).astype(jnp.uint32)
+        bucket = jnp.where(mag == 0, jnp.uint32(nbuckets), mag - 1)
+        pts = AffinePoints(
+            px, jnp.where(negate[None], neg_py, py), pinf | (mag == 0)
+        )
+        window = _accumulate_window(bucket, pts, nbuckets, block)
+        acc = jax.lax.fori_loop(0, c, lambda _, a: g1.dbl(a), acc)
+        return g1.add(acc, window)
+
+    return jax.lax.fori_loop(0, rounds, round_fn, g1.infinity((1,)))
+
+
 def pippenger(
     scalars_mont: jnp.ndarray,
     points: AffinePoints,
-    c: int = 8,
+    c: int | None = None,
     block: int = 128,
 ) -> JacobianPoints:
     """MSM: sum_i scalars[i] * points[i] -> JacobianPoints batch (1,).
@@ -128,114 +284,7 @@ def pippenger(
     scalar_multiplication.cpp:457-476). points: affine batch (N).
     """
     n = scalars_mont.shape[1]
-    # pad N to a multiple of block
-    npad = -(-n // block) * block
-    if npad != n:
-        pad = npad - n
-        scalars_mont = jnp.pad(scalars_mont, ((0, 0), (0, pad)))
-        points = AffinePoints(
-            jnp.pad(points.x, ((0, 0), (0, pad))),
-            jnp.pad(points.y, ((0, 0), (0, pad))),
-            jnp.pad(points.inf, (0, pad), constant_values=True),
-        )
-    n = npad
-    nblocks = n // block
-    digits = scalar_digits(scalars_mont, c)  # (rounds, n)
-    rounds = digits.shape[0]
-    nbuckets = 1 << c
-    # max live segments after block split (clamped for tiny inputs)
-    k_partials = min(nbuckets + nblocks, nblocks * (block + 1))
-
-    def round_fn(r, acc):
-        d = digits[rounds - 1 - r]
-        order = jnp.argsort(d)
-        ds = jnp.take(d, order)
-        pts = g1.take_affine(points, order)
-
-        # ---- phase A: block-sequential segment accumulation -------------
-        ds_cols = ds.reshape(nblocks, block).T  # (C, B)
-        px = pts.x.reshape(NUM_LIMBS, nblocks, block).transpose(2, 0, 1)
-        py = pts.y.reshape(NUM_LIMBS, nblocks, block).transpose(2, 0, 1)
-        pinf = pts.inf.reshape(nblocks, block).T
-
-        def col_step(carry, xs):
-            acc_pt, cur_d = carry
-            dj, xj, yj, infj = xs
-            same = dj == cur_d
-            aff = AffinePoints(xj, yj, infj)
-            added = g1.mixed_add(acc_pt, aff)
-            fresh = g1.to_jacobian(aff)
-            new_acc = g1.select_points(same, added, fresh)
-            emit = ~same
-            out = (emit, cur_d, acc_pt)
-            return (new_acc, dj), out
-
-        init = (g1.infinity((nblocks,)), ds_cols[0])
-        (final_acc, final_d), (em_f, em_d, em_p) = jax.lax.scan(
-            col_step, init, (ds_cols, px, py, pinf)
-        )
-        # append final segment of each block
-        em_f = jnp.concatenate([em_f, jnp.ones((1, nblocks), dtype=bool)])
-        em_d = jnp.concatenate([em_d, final_d[None]])
-        # ys arrive stacked on a leading steps axis: coords (steps, 18, B)
-        em_p = JacobianPoints(
-            jnp.concatenate([em_p.x, final_acc.x[None]], axis=0),
-            jnp.concatenate([em_p.y, final_acc.y[None]], axis=0),
-            jnp.concatenate([em_p.z, final_acc.z[None]], axis=0),
-            jnp.concatenate([em_p.inf, final_acc.inf[None]], axis=0),
-        )
-        # flatten block-major so digits stay globally sorted
-        steps = block + 1
-        em_f = em_f.T.reshape(nblocks * steps)
-        em_d = em_d.T.reshape(nblocks * steps)
-        em_p = JacobianPoints(
-            em_p.x.transpose(1, 2, 0).reshape(NUM_LIMBS, nblocks * steps),
-            em_p.y.transpose(1, 2, 0).reshape(NUM_LIMBS, nblocks * steps),
-            em_p.z.transpose(1, 2, 0).reshape(NUM_LIMBS, nblocks * steps),
-            em_p.inf.T.reshape(nblocks * steps),
-        )
-
-        # ---- compaction: emitted entries to the front, keep order -------
-        pos = jax.lax.broadcasted_iota(
-            jnp.uint32, (nblocks * steps, 1), 0
-        ).squeeze(-1)
-        key = jnp.where(em_f, pos, jnp.uint32(1 << 30) | pos)
-        corder = jnp.argsort(key)[:k_partials]
-        cd = jnp.where(
-            jnp.take(em_f, corder), jnp.take(em_d, corder), jnp.uint32(nbuckets)
-        )
-        cp = _take_jacobian(em_p, corder)
-        cp = JacobianPoints(cp.x, cp.y, cp.z, cp.inf | (cd == nbuckets))
-
-        # ---- phase B: merge equal-digit partials (log depth) ------------
-        prev_d = jnp.roll(cd, 1)
-        starts = jnp.concatenate(
-            [jnp.ones((1,), dtype=bool), (cd != prev_d)[1:]]
-        )
-        merged = _ks_segmented_scan(cp, starts, k_partials)
-        next_d = jnp.roll(cd, -1)
-        is_end = jnp.concatenate(
-            [(cd != next_d)[:-1], jnp.ones((1,), dtype=bool)]
-        )
-
-        # ---- scatter bucket sums ----------------------------------------
-        live = is_end & (cd >= 1) & (cd < nbuckets)
-        bidx = jnp.where(live, cd, jnp.uint32(nbuckets))
-        binit = g1.infinity((nbuckets + 1,))
-        buckets = JacobianPoints(
-            binit.x.at[:, bidx].set(merged.x),
-            binit.y.at[:, bidx].set(merged.y),
-            binit.z.at[:, bidx].set(merged.z),
-            binit.inf.at[bidx].set(merged.inf | ~live),
-        )
-        buckets = _take_jacobian(buckets, jnp.arange(1, nbuckets))
-
-        # ---- window sum: sum_b b*S_b = sum of suffix sums ----------------
-        suffix = _suffix_scan_points(buckets, nbuckets - 1)
-        total = _take_jacobian(_suffix_scan_points(suffix, nbuckets - 1), jnp.array([0]))
-
-        # ---- combine into accumulator: acc = 2^c * acc + W ---------------
-        acc = jax.lax.fori_loop(0, c, lambda _, a: g1.dbl(a), acc)
-        return g1.add(acc, total)
-
-    return jax.lax.fori_loop(0, rounds, round_fn, g1.infinity((1,)))
+    if c is None:
+        c = optimal_window(n)
+    block = min(block, max(16, 2 * n))
+    return _pippenger_impl(scalars_mont, points, c, block)

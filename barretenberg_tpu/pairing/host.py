@@ -253,26 +253,37 @@ def miller_loop_batch(pairs) -> tuple:
 # The reference's final exponentiation (pairing.cpp:253-331) is the
 # Fuentes-Castaneda addition chain, which computes the canonical reduced
 # pairing raised to the fixed power d = 2z(6z^2 + 3z + 1) (a standard,
-# equally secure variant - d is coprime to r). We match it exactly so the
-# reference's KATs and pairing outputs transfer bit-for-bit.
+# equally secure variant - d is coprime to r). tower.py implements that
+# chain; the slow flat-basis fq12_pow below is kept as the oracle.
 _FC_SCALE = 2 * BN_Z * (6 * BN_Z * BN_Z + 3 * BN_Z + 1)
 _FINAL_EXP = (P**12 - 1) // R * _FC_SCALE
 
 
 def final_exponentiation(f) -> tuple:
+    """Oracle-grade final exp on flat-basis elements (one giant fq12_pow).
+    The fast path lives in tower.final_exponentiation."""
     return fq12_pow(f, _FINAL_EXP)
 
 
 def reduced_ate_pairing(p_g1, q_g2) -> tuple:
     """e(P, Q) for host points: P = (x, y) ints, Q = ((x0,x1),(y0,y1)).
-    (reference: pairing.cpp:333-347)."""
-    f = miller_loop_batch([(embed_g1(p_g1), twist_g2(q_g2))])
-    return final_exponentiation(f)
+    (reference: pairing.cpp:333-347). Computed via the fast tower path,
+    returned in the flat basis."""
+    return reduced_ate_pairing_batch([(p_g1, q_g2)])
 
 
 def reduced_ate_pairing_batch(pairs) -> tuple:
     """prod e(P_i, Q_i) over host points (reference: pairing.cpp:364-385)."""
-    f = miller_loop_batch([(embed_g1(p), twist_g2(q)) for p, q in pairs])
+    from . import tower
+
+    return tower.tower_to_flat(tower.reduced_ate_pairing_batch(pairs))
+
+
+def reduced_ate_pairing_slow(p_g1, q_g2) -> tuple:
+    """The original flat-basis path (Miller loop over embedded FQ12 points +
+    one-shot exponentiation). Kept as a cross-implementation oracle for
+    tower.py (the reference's slow-vs-fast test pattern)."""
+    f = miller_loop_batch([(embed_g1(p_g1), twist_g2(q_g2))])
     return final_exponentiation(f)
 
 

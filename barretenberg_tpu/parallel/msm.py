@@ -1,0 +1,91 @@
+"""Mesh-sharded multi-scalar multiplication.
+
+The DP axis of this workload (SURVEY.md section 7): points and scalars are
+contiguously sharded over the mesh, each device runs a chip-local MSM over
+its shard (the same sort+segment-scan Pippenger as single-chip), and the
+per-device partial sums - one Jacobian point each - are combined with an
+all_gather plus a log-depth local tree add. This mirrors the reference's
+thread-batched MSM (reference: curves/bn254/scalar_multiplication.cpp:650-772:
+per-thread sub-Pippenger, then tree add + batch_normalize) with chips in
+place of OpenMP threads.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..groups import AffinePoints, JacobianPoints
+from ..groups.g1 import g1
+from ..msm.naive import MSM_PIPPENGER_THRESHOLD, naive_msm
+from ..msm.pippenger import pippenger
+
+shard_map = jax.shard_map
+
+
+def _tree_add(points: JacobianPoints, size: int) -> JacobianPoints:
+    """Log-depth pairwise reduction of a (size,) batch to (1,)."""
+    while size > 1:
+        half = size // 2
+        lo = JacobianPoints(
+            points.x[:, :half], points.y[:, :half],
+            points.z[:, :half], points.inf[:half],
+        )
+        hi = JacobianPoints(
+            points.x[:, half:], points.y[:, half:],
+            points.z[:, half:], points.inf[half:],
+        )
+        points = g1.add(lo, hi)
+        size = half
+    return points
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis_name"))
+def sharded_msm(
+    scalars_mont: jnp.ndarray,
+    points: AffinePoints,
+    mesh,
+    axis_name: str = "shards",
+) -> JacobianPoints:
+    """sum_i scalars[i] * points[i] over the mesh -> replicated (1,) batch.
+
+    scalars_mont: (18, N) internal-Montgomery Fr; points: affine batch (N).
+    N must divide evenly over the mesh axis; callers pad with infinity/zero.
+    """
+    d = mesh.shape[axis_name]
+    n = scalars_mont.shape[1]
+    if n % d:
+        raise ValueError(f"MSM size {n} not divisible by {d} devices")
+    local_n = n // d
+
+    def local_fn(s, px, py, pinf):
+        pts = AffinePoints(px, py, pinf)
+        if local_n < MSM_PIPPENGER_THRESHOLD:
+            part = naive_msm(s, pts)
+        else:
+            part = pippenger(s, pts)
+        # gather the D one-point partials and tree-add locally (replicated)
+        gx = jax.lax.all_gather(part.x, axis_name, axis=1, tiled=True)
+        gy = jax.lax.all_gather(part.y, axis_name, axis=1, tiled=True)
+        gz = jax.lax.all_gather(part.z, axis_name, axis=1, tiled=True)
+        ginf = jax.lax.all_gather(part.inf, axis_name, axis=0, tiled=True)
+        return _tree_add(JacobianPoints(gx, gy, gz, ginf), d)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis_name),
+            P(None, axis_name),
+            P(None, axis_name),
+            P(axis_name),
+        ),
+        out_specs=JacobianPoints(P(None, None), P(None, None), P(None, None), P(None)),
+        # constants built inside (infinity accumulators, digit tables) are
+        # unvarying; skip the varying-manual-axes strictness check
+        check_vma=False,
+    )
+    return fn(scalars_mont, points.x, points.y, points.inf)

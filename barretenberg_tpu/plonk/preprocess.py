@@ -13,7 +13,11 @@ from .verifier import Verifier
 
 def preprocess(prover) -> Verifier:
     small = prover.state.small_domain
-    verifier = Verifier(prover.n, prover.reference_string.g2_x)
+    verifier = Verifier(
+        prover.n,
+        prover.reference_string.g2_x,
+        g2_lines=prover.reference_string.g2_miller_lines,
+    )
     sigma_commitments = []
     for mapping in (
         prover.sigma_1_mapping,

@@ -21,9 +21,10 @@ P = fr.p
 
 
 class Verifier:
-    def __init__(self, n: int, g2_x):
+    def __init__(self, n: int, g2_x, g2_lines=None):
         self.n = n
         self.g2_x = g2_x  # [x]_2 host point
+        self.g2_lines = g2_lines  # precomputed Miller lines ([1]_2, [x]_2)
         self.sigma_1_commitment = None
         self.sigma_2_commitment = None
         self.sigma_3_commitment = None
@@ -183,6 +184,14 @@ class Verifier:
         lhs = host_curve.g1_add(lhs, proof.pi_z_commitment)
         lhs = host_curve.g1_neg(lhs)
 
+        if self.g2_lines is not None and rhs is not None and lhs is not None:
+            # reference pairing.cpp:349-362: reuse the SRS's line tables
+            from ..pairing import tower
+
+            res = tower.reduced_ate_pairing_batch_precomputed(
+                [rhs, lhs], list(self.g2_lines)
+            )
+            return tower.fq12_eq_one(res)
         return pairing_check(
             [(rhs, host_curve.G2_GENERATOR), (lhs, self.g2_x)]
         )

@@ -99,6 +99,282 @@ def arithmetic_linear_combo(terms):
     return acc
 
 
+class ProverBoolWidget:
+    """Booleanity constraint (w^2 - w).q_b per wire column
+    (reference: widgets/bool_widget.cpp:62-100)."""
+
+    dependencies = frozenset()
+
+    def __init__(self, q_bl, q_br, q_bo):
+        self.q_bl, self.q_br, self.q_bo = q_bl, q_br, q_bo  # evaluation form
+        self._coeff = None
+
+    def compute_quotient_contribution(self, alpha_base: int, alpha: int, state) -> int:
+        small, mid = state.small_domain, state.mid_domain
+        coeffs = [fft.ifft(q, small) for q in (self.q_bl, self.q_br, self.q_bo)]
+        self._coeff = coeffs
+        scales = [alpha_base, alpha_base * alpha % P, alpha_base * alpha * alpha % P]
+        ffts = [
+            fft.coset_fft_with_constant(state.pad(c, mid.size), mid, s)
+            for c, s in zip(coeffs, scales)
+        ]
+        t = None
+        for wire_fft, q_fft in zip(
+            (state.w_l_fft, state.w_r_fft, state.w_o_fft), ffts
+        ):
+            w2 = wire_fft[:, ::2]
+            term = fr.mont_mul(fr.sub(fr.mont_mul(w2, w2), w2), q_fft)
+            t = term if t is None else fr.add(t, term)
+        state.quotient_mid = fr.add(state.quotient_mid, t)
+        return alpha_base * pow(alpha, 3, P) % P
+
+    def compute_linear_contribution(self, alpha_base: int, alpha: int, proof, r):
+        """(bool_widget.cpp:105-124)."""
+        muls = []
+        for ev, k in (
+            (proof.w_l_eval, alpha_base),
+            (proof.w_r_eval, alpha_base * alpha % P),
+            (proof.w_o_eval, alpha_base * alpha * alpha % P),
+        ):
+            muls.append((ev * ev - ev) % P * k % P)
+        t = arithmetic_linear_combo(list(zip(self._coeff, muls)))
+        return alpha_base * pow(alpha, 3, P) % P, fr.add(r, t)
+
+    def compute_opening_poly_contribution(self, opening_poly, nu_base: int, nu: int):
+        return opening_poly, nu_base
+
+    def compute_proof_elements(self, proof, z: int) -> None:
+        return None
+
+    def compute_preprocessed_commitments(self, prover) -> "VerifierBoolWidget":
+        small = prover.state.small_domain
+        commitments = [
+            prover.commit(fft.ifft(q, small))
+            for q in (self.q_bl, self.q_br, self.q_bo)
+        ]
+        return VerifierBoolWidget(commitments)
+
+
+class VerifierBoolWidget:
+    dependencies = frozenset()
+
+    def __init__(self, commitments):
+        self.commitments = commitments  # [Q_BL, Q_BR, Q_BO]
+
+    def verify_instance_commitments(self) -> bool:
+        return all(
+            c == (0, 0) or host_curve.g1_is_on_curve(c) for c in self.commitments
+        )
+
+    def compute_batch_evaluation_contribution(self, batch_eval, nu_base, nu, proof):
+        return batch_eval, nu_base
+
+    def append_scalar_multiplication_inputs(self, coeffs, proof, points, scalars):
+        """(bool_widget.cpp:194-230)."""
+        ab, a_step, ln = coeffs["alpha_base"], coeffs["alpha_step"], coeffs["linear_nu"]
+        muls = [
+            (proof.w_l_eval**2 - proof.w_l_eval) % P * ab % P * ln % P,
+            (proof.w_r_eval**2 - proof.w_r_eval) % P * ab % P * a_step % P * ln % P,
+            (proof.w_o_eval**2 - proof.w_o_eval)
+            % P
+            * ab
+            % P
+            * a_step
+            % P
+            * a_step
+            % P
+            * ln
+            % P,
+        ]
+        for pt, sc in zip(self.commitments, muls):
+            if pt != (0, 0) and host_curve.g1_is_on_curve(pt):
+                points.append(pt)
+                scalars.append(sc)
+        out = dict(coeffs)
+        out["alpha_base"] = ab * pow(a_step, 3, P) % P
+        return out
+
+
+class ProverSequentialWidget:
+    """q_oo selector multiplying the next gate's output w_o(X.omega)
+    (reference: widgets/sequential_widget.cpp:47-74). Shares the arithmetic
+    widget's alpha power (old_alpha = alpha_base / alpha)."""
+
+    dependencies = frozenset((REQUIRES_W_O_SHIFTED,))
+
+    def __init__(self, q_o_next):
+        self.q_o_next = q_o_next  # evaluation form
+        self._coeff = None
+
+    def compute_quotient_contribution(self, alpha_base: int, alpha: int, state) -> int:
+        small, mid = state.small_domain, state.mid_domain
+        old_alpha = alpha_base * pow(alpha, -1, P) % P
+        self._coeff = fft.ifft(self.q_o_next, small)
+        q_fft = fft.coset_fft_with_constant(
+            state.pad(self._coeff, mid.size), mid, old_alpha
+        )
+        import jax.numpy as jnp
+
+        w_o_shifted = jnp.roll(state.w_o_fft, -4, axis=1)[:, ::2]
+        state.quotient_mid = fr.add(
+            state.quotient_mid, fr.mont_mul(w_o_shifted, q_fft)
+        )
+        return alpha_base
+
+    def compute_linear_contribution(self, alpha_base: int, alpha: int, proof, r):
+        old_alpha = alpha_base * pow(alpha, -1, P) % P
+        t = fr.mul_by_constant(
+            self._coeff, proof.w_o_shifted_eval * old_alpha % P
+        )
+        return alpha_base, fr.add(r, t)
+
+    def compute_opening_poly_contribution(self, opening_poly, nu_base: int, nu: int):
+        return opening_poly, nu_base
+
+    def compute_proof_elements(self, proof, z: int) -> None:
+        return None
+
+    def compute_preprocessed_commitments(self, prover) -> "VerifierSequentialWidget":
+        small = prover.state.small_domain
+        return VerifierSequentialWidget(
+            [prover.commit(fft.ifft(self.q_o_next, small))]
+        )
+
+
+class VerifierSequentialWidget:
+    dependencies = frozenset((REQUIRES_W_O_SHIFTED,))
+
+    def __init__(self, commitments):
+        self.commitments = commitments  # [Q_O_NEXT]
+
+    def verify_instance_commitments(self) -> bool:
+        c = self.commitments[0]
+        return c == (0, 0) or host_curve.g1_is_on_curve(c)
+
+    def compute_batch_evaluation_contribution(self, batch_eval, nu_base, nu, proof):
+        return batch_eval, nu_base
+
+    def append_scalar_multiplication_inputs(self, coeffs, proof, points, scalars):
+        """(sequential_widget.cpp:122-147)."""
+        old_alpha = coeffs["alpha_base"] * pow(coeffs["alpha_step"], -1, P) % P
+        sc = proof.w_o_shifted_eval * old_alpha % P * coeffs["linear_nu"] % P
+        pt = self.commitments[0]
+        if pt != (0, 0) and host_curve.g1_is_on_curve(pt):
+            points.append(pt)
+            scalars.append(sc)
+        return dict(coeffs)
+
+
+class ProverMiMCWidget:
+    """MiMC round gate over the 4n domain with shifted w_o
+    (reference: widgets/mimc_widget.cpp:58-93):
+    q_mimc.(((w_o+w_l+q_mimc_c)^3 - w_r) + alpha.((w_o+w_l+q_mimc_c).w_r^2 - w_o_next))
+    """
+
+    dependencies = frozenset((REQUIRES_W_O_SHIFTED,))
+
+    def __init__(self, q_mimc_selector, q_mimc_coefficient):
+        self.q_mimc_selector = q_mimc_selector  # evaluation form
+        self.q_mimc_coefficient = q_mimc_coefficient
+        self._sel_coeff = None
+        self._coef_coeff = None
+
+    def compute_quotient_contribution(self, alpha_base: int, alpha: int, state) -> int:
+        small, large = state.small_domain, state.large_domain
+        self._sel_coeff = fft.ifft(self.q_mimc_selector, small)
+        self._coef_coeff = fft.ifft(self.q_mimc_coefficient, small)
+        sel_fft = fft.coset_fft_with_constant(
+            state.pad(self._sel_coeff, large.size), large, alpha_base
+        )
+        coef_fft = fft.coset_fft(state.pad(self._coef_coeff, large.size), large)
+        import jax.numpy as jnp
+
+        w_o_next = jnp.roll(state.w_o_fft, -4, axis=1)
+        t0 = fr.add(fr.add(state.w_o_fft, state.w_l_fft), coef_fft)
+        t1 = fr.sub(fr.mont_mul(fr.mont_mul(t0, t0), t0), state.w_r_fft)
+        t2 = fr.sub(
+            fr.mont_mul(fr.mont_mul(state.w_r_fft, state.w_r_fft), t0), w_o_next
+        )
+        t1 = fr.add(t1, fr.mul_by_constant(t2, alpha))
+        state.quotient_large = fr.add(
+            state.quotient_large, fr.mont_mul(t1, sel_fft)
+        )
+        return alpha_base * alpha % P * alpha % P
+
+    def compute_proof_elements(self, proof, z: int) -> None:
+        proof.q_mimc_coefficient_eval = arithmetic.evaluate(self._coef_coeff, z)
+
+    def compute_linear_contribution(self, alpha_base: int, alpha: int, proof, r):
+        """(mimc_widget.cpp:96-113)."""
+        t0 = (proof.w_o_eval + proof.w_l_eval + proof.q_mimc_coefficient_eval) % P
+        a = (t0 * t0 % P * t0 - proof.w_r_eval) % P
+        term = (
+            (proof.w_r_eval * proof.w_r_eval % P * t0 - proof.w_o_shifted_eval)
+            % P
+            * alpha
+            % P
+        )
+        mimc_term = (term + a) % P * alpha_base % P
+        t = fr.mul_by_constant(self._sel_coeff, mimc_term)
+        return alpha_base * alpha % P * alpha % P, fr.add(r, t)
+
+    def compute_opening_poly_contribution(self, opening_poly, nu_base: int, nu: int):
+        """opening += q_mimc_coefficient . nu_base (mimc_widget.cpp:115-124)."""
+        out = fr.add(opening_poly, fr.mul_by_constant(self._coef_coeff, nu_base))
+        return out, nu_base * nu % P
+
+    def compute_preprocessed_commitments(self, prover) -> "VerifierMiMCWidget":
+        small = prover.state.small_domain
+        return VerifierMiMCWidget(
+            [
+                prover.commit(fft.ifft(self.q_mimc_coefficient, small)),
+                prover.commit(fft.ifft(self.q_mimc_selector, small)),
+            ]
+        )
+
+
+class VerifierMiMCWidget:
+    dependencies = frozenset((REQUIRES_W_O_SHIFTED,))
+
+    def __init__(self, commitments):
+        self.commitments = commitments  # [Q_MIMC_COEFFICIENT, Q_MIMC_SELECTOR]
+
+    def verify_instance_commitments(self) -> bool:
+        return all(
+            c == (0, 0) or host_curve.g1_is_on_curve(c) for c in self.commitments
+        )
+
+    def compute_batch_evaluation_contribution(self, batch_eval, nu_base, nu, proof):
+        """(mimc_widget.cpp:173-179)."""
+        batch_eval = (batch_eval + proof.q_mimc_coefficient_eval * nu_base) % P
+        return batch_eval, nu_base * nu % P
+
+    def append_scalar_multiplication_inputs(self, coeffs, proof, points, scalars):
+        """(mimc_widget.cpp:181-216)."""
+        ab, a_step, ln = coeffs["alpha_base"], coeffs["alpha_step"], coeffs["linear_nu"]
+        pt = self.commitments[0]
+        if pt != (0, 0) and host_curve.g1_is_on_curve(pt):
+            points.append(pt)
+            scalars.append(coeffs["nu_base"])
+        t0 = (proof.w_o_eval + proof.w_l_eval + proof.q_mimc_coefficient_eval) % P
+        a = (t0 * t0 % P * t0 - proof.w_r_eval) % P
+        term = (
+            (proof.w_r_eval * proof.w_r_eval % P * t0 - proof.w_o_shifted_eval)
+            % P
+            * a_step
+            % P
+        )
+        q_mimc_term = (term + a) % P * ab % P * ln % P
+        pt = self.commitments[1]
+        if pt != (0, 0) and host_curve.g1_is_on_curve(pt):
+            points.append(pt)
+            scalars.append(q_mimc_term)
+        out = dict(coeffs)
+        out["alpha_base"] = ab * a_step % P * a_step % P
+        out["nu_base"] = coeffs["nu_base"] * coeffs["nu_step"] % P
+        return out
+
+
 class VerifierArithmeticWidget:
     dependencies = frozenset()
 

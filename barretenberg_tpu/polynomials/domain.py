@@ -73,10 +73,36 @@ class EvaluationDomain:
             rev |= ((idx >> b) & 1) << (bits - 1 - b)
         return jnp.asarray(rev.astype(np.int32))
 
-    def root_vector(self) -> jnp.ndarray:
-        """(18, n) table of omega^k for k < n = [twiddles, -twiddles]."""
+    @functools.cached_property
+    def _root_vector(self) -> jnp.ndarray:
         t = self.twiddles
         return jnp.concatenate([t, fr.neg(t)], axis=1)
+
+    @functools.cached_property
+    def _inverse_root_vector(self) -> jnp.ndarray:
+        t = self.inverse_twiddles
+        return jnp.concatenate([t, fr.neg(t)], axis=1)
+
+    def root_vector(self) -> jnp.ndarray:
+        """(18, n) table of omega^k for k < n = [twiddles, -twiddles]."""
+        return self._root_vector
+
+    def inverse_root_vector(self) -> jnp.ndarray:
+        """(18, n) table of omega^-k for k < n."""
+        return self._inverse_root_vector
+
+    def warm_tables(self, inverse: bool = False, coset: bool = False) -> None:
+        """Materialize the cached device tables eagerly. Must be called
+        before using this domain inside a jit/shard_map trace, otherwise the
+        lazily-built tables would be cached as tracers and leak."""
+        self.bit_reverse_indices
+        if inverse:
+            self.inverse_twiddles
+        else:
+            self.twiddles
+        if coset:
+            self.coset_scale
+            self.coset_scale_inverse
 
     def coset_root_vector(self) -> jnp.ndarray:
         """(18, n) table of g * omega^k (the coset evaluation points)."""

@@ -125,6 +125,17 @@ class ReferenceString:
         return ReferenceString(monomials, g2_x, degree)
 
     # -- views --------------------------------------------------------------
+    @functools.cached_property
+    def g2_miller_lines(self):
+        """Precomputed Miller lines for ([1]_2, [x]_2) - the verifier
+        reference string (reference: reference_string.cpp:26-28,135-146)."""
+        from ..pairing import tower
+
+        return (
+            tower.precompute_miller_lines(host_curve.G2_GENERATOR),
+            tower.precompute_miller_lines(self.g2_x),
+        )
+
     def monomials_host(self) -> list:
         from ..groups.g1 import points_to_host
 

@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Benchmark harness (run on real TPU hardware).
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+and writes every measured axis to BENCH_DETAILS.json.
+
+Axes mirror the reference's harness (reference:
+test/benchmarks/bench_barretenberg.cpp:282-755 Pippenger/field/FFT axes,
+bench_plonk.cpp:18-92 prover wall time). Baseline: the reference's only
+stated absolute figure, ~4 us per scalar-mul for large-batch Pippenger
+(src/barretenberg/pippenger.md:7); vs_baseline = baseline / ours, so > 1
+means faster than the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SRS_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".srs_cache")
+
+
+def _sync(x):
+    return jax.block_until_ready(x)
+
+
+def timeit(fn, *args, warmup: int = 1, iters: int = 3):
+    """Returns (best_seconds, first_call_seconds). fn must return jax arrays."""
+    t0 = time.perf_counter()
+    _sync(fn(*args))
+    first = time.perf_counter() - t0
+    for _ in range(max(0, warmup - 1)):
+        _sync(fn(*args))
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _sync(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best, first
+
+
+def get_srs(degree: int):
+    """Deterministic SRS, generated on device once and cached on disk."""
+    from barretenberg_tpu.srs.reference_string import ReferenceString
+
+    os.makedirs(SRS_CACHE_DIR, exist_ok=True)
+    path = os.path.join(SRS_CACHE_DIR, f"srs_{degree}.dat")
+    if os.path.exists(path):
+        return ReferenceString.load(path, degree)
+    srs = ReferenceString.generate(degree, 0xA11CE)
+    mono = srs.monomials_host()
+    ReferenceString.save(path, mono[1:], srs.g2_x)
+    return srs
+
+
+def bench_mont_mul(n: int, details: dict):
+    from barretenberg_tpu.fields import fr
+
+    rng = np.random.default_rng(1)
+    a = fr.random_elements(n, rng)
+    b = fr.random_elements(n, rng)
+    f = jax.jit(fr.mont_mul)
+    best, first = timeit(f, a, b, iters=5)
+    details["mont_mul"] = {
+        "n": n,
+        "ns_per_op": best / n * 1e9,
+        "mops_per_s": n / best / 1e6,
+        "gbytes_per_s": 3 * 18 * 4 * n / best / 1e9,
+        "compile_s": first,
+    }
+
+
+def bench_fft(log_n: int, details: dict):
+    from barretenberg_tpu.fields import fr
+    from barretenberg_tpu.polynomials import fft
+    from barretenberg_tpu.polynomials.domain import get_domain
+
+    n = 1 << log_n
+    dom = get_domain(n)
+    dom.warm_tables()
+    rng = np.random.default_rng(2)
+    coeffs = fr.random_elements(n, rng)
+    f = jax.jit(lambda c: fft.fft(c, dom))
+    best, first = timeit(f, coeffs)
+    details[f"fft_2e{log_n}"] = {
+        "n": n,
+        "wall_ms": best * 1e3,
+        "compile_s": first,
+    }
+
+
+def bench_msm(log_n: int, details: dict, srs=None):
+    from barretenberg_tpu.fields import fr
+    from barretenberg_tpu.groups.g1 import g1
+    from barretenberg_tpu.msm import pippenger
+
+    n = 1 << log_n
+    if srs is None:
+        srs = get_srs(n)
+    points = g1.take_affine(srs.monomials, jnp.arange(n))
+    rng = np.random.default_rng(3)
+    scalars = fr.random_elements(n, rng)
+    best, first = timeit(pippenger, scalars, points)
+    details[f"msm_2e{log_n}"] = {
+        "n": n,
+        "us_per_point": best / n * 1e6,
+        "wall_s": best,
+        "compile_s": first,
+    }
+    return best / n * 1e6
+
+
+def bench_prove(log_n: int, details: dict):
+    """Full PLONK prove at n gates (reference bench_plonk.cpp:18-92)."""
+    from tests.test_plonk import build_fixture_prover
+
+    n = 1 << log_n
+    prover = build_fixture_prover(n)
+    t0 = time.perf_counter()
+    prover.construct_proof()
+    wall = time.perf_counter() - t0
+    details[f"plonk_prove_2e{log_n}"] = {"n": n, "wall_s": wall}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small sizes only")
+    ap.add_argument("--msm-log-n", type=int, default=None)
+    ap.add_argument("--prove", action="store_true", help="include PLONK prove")
+    args = ap.parse_args()
+
+    details = {
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+    msm_log = args.msm_log_n or (12 if args.quick else 16)
+
+    bench_mont_mul(1 << 20, details)
+    bench_fft(12 if args.quick else 20, details)
+    us_per_point = bench_msm(msm_log, details)
+    if args.prove:
+        bench_prove(10 if args.quick else 14, details)
+
+    baseline_us = 4.0  # pippenger.md:7
+    headline = {
+        "metric": f"msm_2e{msm_log}_us_per_point",
+        "value": round(us_per_point, 3),
+        "unit": "us/point",
+        "vs_baseline": round(baseline_us / us_per_point, 3),
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"),
+        "w",
+    ) as f:
+        json.dump(details, f, indent=2, default=str)
+    print(json.dumps(headline))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -71,6 +71,47 @@ def test_reduced_ate_pairing_kat():
     assert result == tower_to_flat(expected_tower)
 
 
+def test_tower_matches_flat_oracle():
+    """Fast tower path vs the original flat-basis oracle (the reference's
+    slow-vs-fast cross-check pattern)."""
+    P = hc.G1_GENERATOR
+    Q = hc.G2_GENERATOR
+    fast = ph.reduced_ate_pairing(hc.g1_mul(P, 11), hc.g2_mul(Q, 13))
+    slow = ph.reduced_ate_pairing_slow(hc.g1_mul(P, 11), hc.g2_mul(Q, 13))
+    assert fast == slow
+
+
+def test_cyclotomic_sqr_matches_generic():
+    from barretenberg_tpu.pairing import tower as tw
+    import random
+
+    random.seed(99)
+
+    def rand_fq2():
+        return (random.randrange(tw.P), random.randrange(tw.P))
+
+    f = (
+        (rand_fq2(), rand_fq2(), rand_fq2()),
+        (rand_fq2(), rand_fq2(), rand_fq2()),
+    )
+    # easy part of the final exp puts f in the cyclotomic subgroup
+    a = tw.fq12_mul(tw.fq12_conj(f), tw.fq12_inv(f))
+    a = tw.fq12_mul(a, tw.fq12_frobenius(a, 2))
+    assert tw.fq12_cyclotomic_sqr(a) == tw.fq12_sqr(a)
+    # and the unitary inverse really inverts there
+    assert tw.fq12_mul(a, tw.fq12_conj(a)) == tw.FQ12_ONE
+
+
+def test_precomputed_lines_reuse():
+    from barretenberg_tpu.pairing import tower as tw
+
+    Q = hc.G2_GENERATOR
+    lines = tw.precompute_miller_lines(Q)
+    got = tw.reduced_ate_pairing_batch_precomputed([hc.G1_GENERATOR], [lines])
+    want = tw.reduced_ate_pairing_batch([(hc.G1_GENERATOR, Q)])
+    assert got == want
+
+
 def test_pairing_bilinearity():
     rng = np.random.default_rng(3)
     a = int.from_bytes(rng.bytes(32), "little") % fr.p

@@ -1,0 +1,108 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh.
+
+Validates the shard_map MSM/FFT (parallel/) against the single-device
+implementations - the distributed analog of the reference's oracle pattern
+(reference: test/test_scalar_multiplication.cpp:72-271 checks every Pippenger
+variant against naive accumulation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from barretenberg_tpu.fields import fr
+from barretenberg_tpu.groups.g1 import g1, random_affine_points
+from barretenberg_tpu.msm import naive_msm
+from barretenberg_tpu.parallel import (
+    default_mesh,
+    sharded_coset_fft,
+    sharded_fft,
+    sharded_ifft,
+    sharded_msm,
+)
+from barretenberg_tpu.polynomials import fft
+from barretenberg_tpu.polynomials.domain import get_domain
+
+def random_points(n, rng):
+    return random_affine_points(n, rng)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 virtual devices"
+    return default_mesh(8)
+
+
+class TestShardedFFT:
+    @pytest.mark.parametrize("n", [64, 256, 1024])
+    def test_fft_matches_single_device(self, mesh, n):
+        rng = np.random.default_rng(7)
+        coeffs = fr.random_elements(n, rng)
+        want = fft.fft(coeffs, get_domain(n))
+        got = sharded_fft(coeffs, mesh)
+        assert jnp.array_equal(want, got)
+
+    @pytest.mark.parametrize("n", [64, 256])
+    def test_ifft_roundtrip(self, mesh, n):
+        rng = np.random.default_rng(8)
+        coeffs = fr.random_elements(n, rng)
+        evals = sharded_fft(coeffs, mesh)
+        back = sharded_ifft(evals, mesh)
+        assert jnp.array_equal(coeffs, back)
+
+    def test_ifft_matches_single_device(self, mesh):
+        n = 256
+        rng = np.random.default_rng(9)
+        evals = fr.random_elements(n, rng)
+        want = fft.ifft(evals, get_domain(n))
+        got = sharded_ifft(evals, mesh)
+        assert jnp.array_equal(want, got)
+
+    def test_coset_fft_matches_single_device(self, mesh):
+        n = 256
+        rng = np.random.default_rng(10)
+        coeffs = fr.random_elements(n, rng)
+        want = fft.coset_fft(coeffs, get_domain(n))
+        got = sharded_coset_fft(coeffs, mesh)
+        assert jnp.array_equal(want, got)
+
+    def test_coset_ifft_roundtrip(self, mesh):
+        n = 256
+        rng = np.random.default_rng(11)
+        coeffs = fr.random_elements(n, rng)
+        evals = sharded_coset_fft(coeffs, mesh)
+        back = sharded_coset_fft(evals, mesh, inverse=True)
+        assert jnp.array_equal(coeffs, back)
+
+    def test_fft_with_constant(self, mesh):
+        n = 64
+        rng = np.random.default_rng(12)
+        coeffs = fr.random_elements(n, rng)
+        want = fft.fft_with_constant(coeffs, get_domain(n), 12345)
+        got = sharded_fft(coeffs, mesh, constant=12345)
+        assert jnp.array_equal(want, got)
+
+
+class TestShardedMSM:
+    @pytest.mark.parametrize("n", [64, 256])
+    def test_matches_naive(self, mesh, n):
+        rng = np.random.default_rng(13)
+        points = random_points(n, rng)
+        scalars = fr.random_elements(n, rng)
+        want = naive_msm(scalars, points)
+        got = sharded_msm(scalars, points, mesh)
+        assert bool(g1.eq(want, got)[0])
+
+    def test_with_infinity_and_zero(self, mesh):
+        n = 64
+        rng = np.random.default_rng(14)
+        points = random_points(n, rng)
+        points = points._replace(
+            inf=points.inf.at[3].set(True).at[17].set(True)
+        )
+        scalars_list = [int.from_bytes(rng.bytes(32), "little") % fr.p for _ in range(n)]
+        scalars_list[5] = 0
+        scalars = fr.encode(scalars_list)
+        want = naive_msm(scalars, points)
+        got = sharded_msm(scalars, points, mesh)
+        assert bool(g1.eq(want, got)[0])

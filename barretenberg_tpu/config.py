@@ -25,9 +25,23 @@ if "BARRETENBERG_TPU_PALLAS" in os.environ:
 PALLAS_MIN_BATCH = 256
 
 
+_interpret = False
+
+
 def set_use_pallas(value: bool | None) -> None:
     global _override
     _override = value
+
+
+def set_pallas_interpret(value: bool) -> None:
+    """Run Pallas kernels in interpret mode (CPU emulation) - used by CI to
+    cover the kernel code paths without TPU hardware."""
+    global _interpret
+    _interpret = value
+
+
+def pallas_interpret() -> bool:
+    return _interpret
 
 
 def use_pallas() -> bool:

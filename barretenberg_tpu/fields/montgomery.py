@@ -110,6 +110,18 @@ class Field:
     def zeros(self, batch_shape) -> jnp.ndarray:
         return jnp.zeros((L, *batch_shape), dtype=jnp.uint32)
 
+    @staticmethod
+    def batch_shape(a) -> tuple:
+        """Batch dims of an element array (everything after the limb axis).
+        Extension fields override (their element arrays carry extra leading
+        coordinate axes)."""
+        return a.shape[1:]
+
+    def batch_invert_any(self, a) -> jnp.ndarray:
+        """batch_invert over all batch dims at once."""
+        flat = a.reshape(L, -1)
+        return self.batch_invert(flat).reshape(a.shape)
+
     def full(self, batch_shape, scalar_limbs) -> jnp.ndarray:
         return jnp.broadcast_to(
             jnp.reshape(scalar_limbs, (L,) + (1,) * len(batch_shape)),

@@ -63,7 +63,7 @@ class Curve:
         return AffinePoints(z, z, jnp.ones(batch_shape, dtype=bool))
 
     def to_jacobian(self, p: AffinePoints) -> JacobianPoints:
-        one = self.f.full(p.x.shape[1:], self.f.one)
+        one = self.f.full(self.f.batch_shape(p.x), self.f.one)
         return JacobianPoints(p.x, p.y, one, p.inf)
 
     def generator(self, batch_shape=()) -> AffinePoints:
@@ -180,7 +180,7 @@ class Curve:
         y = f.select(use_dbl, dbl_res.y, y3)
         z = f.select(use_dbl, dbl_res.z, z3)
         inf = cancel
-        one = f.full(p.x.shape[1:], f.one)
+        one = f.full(f.batch_shape(p.x), f.one)
         x = f.select(q.inf, p.x, f.select(p.inf, q.x, x))
         y = f.select(q.inf, p.y, f.select(p.inf, q.y, y))
         z = f.select(q.inf, p.z, f.select(p.inf, one, z))
@@ -216,10 +216,9 @@ class Curve:
 
     def _batch_normalize_impl(self, p: JacobianPoints) -> AffinePoints:
         f = self.f
-        one = f.full(p.z.shape[1:], f.one)
+        one = f.full(f.batch_shape(p.z), f.one)
         z = f.select(p.inf, one, p.z)
-        flat = z.reshape(z.shape[0], -1)
-        zinv = f.batch_invert(flat).reshape(z.shape)
+        zinv = f.batch_invert_any(z)
         zinv2 = f.sqr(zinv)
         x = f.mul(p.x, zinv2)
         y = f.mul(p.y, f.mul(zinv, zinv2))
@@ -228,10 +227,45 @@ class Curve:
     def normalize(self, p: JacobianPoints) -> AffinePoints:
         return self.batch_normalize(p)
 
+    def batch_normalize_chunked(
+        self, p: JacobianPoints, chunk: int = 1 << 16
+    ) -> AffinePoints:
+        """batch_normalize in fixed-size chunks: the full-width batch
+        inversion's associative-scan graph at 2^20+ lanes overwhelms the
+        XLA compile step; chunking reuses one compiled shape."""
+        n = p.x.shape[-1]
+        if n <= chunk:
+            return self.batch_normalize(p)
+        outs = []
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            piece = JacobianPoints(
+                p.x[..., lo:hi], p.y[..., lo:hi], p.z[..., lo:hi], p.inf[lo:hi]
+            )
+            if hi - lo != chunk:  # pad the tail to the compiled shape
+                pad = chunk - (hi - lo)
+                piece = JacobianPoints(
+                    jnp.pad(piece.x, [(0, 0)] * (piece.x.ndim - 1) + [(0, pad)]),
+                    jnp.pad(piece.y, [(0, 0)] * (piece.y.ndim - 1) + [(0, pad)]),
+                    jnp.pad(piece.z, [(0, 0)] * (piece.z.ndim - 1) + [(0, pad)]),
+                    jnp.pad(piece.inf, (0, pad), constant_values=True),
+                )
+            res = self.batch_normalize(piece)
+            outs.append(
+                AffinePoints(
+                    res.x[..., : hi - lo], res.y[..., : hi - lo], res.inf[: hi - lo]
+                )
+            )
+        return AffinePoints(
+            jnp.concatenate([o.x for o in outs], axis=-1),
+            jnp.concatenate([o.y for o in outs], axis=-1),
+            jnp.concatenate([o.inf for o in outs], axis=-1),
+        )
+
     def on_curve_affine(self, p: AffinePoints):
         f = self.f
         lhs = f.sqr(p.y)
-        rhs = f.add(f.mul(f.sqr(p.x), p.x), f.full(p.x.shape[1:], self.b))
+        rhs = f.add(f.mul(f.sqr(p.x), p.x), f.full(f.batch_shape(p.x), self.b))
         return jnp.logical_or(p.inf, f.eq(lhs, rhs))
 
     def eq(self, p: JacobianPoints, q: JacobianPoints):
@@ -262,7 +296,7 @@ class Curve:
         return self._scalar_mul_bits(p, bits)
 
     def _scalar_mul_bits(self, p: AffinePoints, bits: jnp.ndarray) -> JacobianPoints:
-        acc = self.infinity(p.x.shape[1:])
+        acc = self.infinity(self.f.batch_shape(p.x))
 
         def body(acc, bit):
             acc = self.dbl(acc)

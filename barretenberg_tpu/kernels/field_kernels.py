@@ -32,7 +32,7 @@ def _store(ref, rows):
 
 
 @functools.cache
-def _mul_fn(params: FieldParams, op: str):
+def _mul_fn(params: FieldParams, op: str, interpret: bool = False):
     lf = LimbField(params)
 
     if op == "mul":
@@ -66,22 +66,29 @@ def _mul_fn(params: FieldParams, op: str):
             grid=(pl.cdiv(n, TILE),),
             in_specs=[spec] * n_in,
             out_specs=spec,
+            interpret=interpret,
         )(*args)
 
     return call
 
 
+def _interp() -> bool:
+    from .. import config
+
+    return config.pallas_interpret()
+
+
 def mont_mul(params: FieldParams, a, b):
-    return _mul_fn(params, "mul")(a, b)
+    return _mul_fn(params, "mul", _interp())(a, b)
 
 
 def sqr(params: FieldParams, a):
-    return _mul_fn(params, "sqr")(a)
+    return _mul_fn(params, "sqr", _interp())(a)
 
 
 def add(params: FieldParams, a, b):
-    return _mul_fn(params, "add")(a, b)
+    return _mul_fn(params, "add", _interp())(a, b)
 
 
 def sub(params: FieldParams, a, b):
-    return _mul_fn(params, "sub")(a, b)
+    return _mul_fn(params, "sub", _interp())(a, b)

@@ -50,7 +50,7 @@ def _dbl_rows(f: LimbField, x, y, z):
 
 
 @functools.cache
-def _kernel_fn(op: str):
+def _kernel_fn(op: str, interpret: bool = False):
     f = LimbField(FQ_PARAMS)
 
     if op == "dbl":
@@ -182,6 +182,7 @@ def _kernel_fn(op: str):
             grid=(pl.cdiv(n, TILE),),
             in_specs=in_specs,
             out_specs=out_specs,
+            interpret=interpret,
         )(*args)
 
     return call
@@ -191,20 +192,26 @@ def _m(inf):
     return inf.astype(jnp.uint32)[None, :]
 
 
+def _interp() -> bool:
+    from .. import config
+
+    return config.pallas_interpret()
+
+
 def dbl(p: JacobianPoints) -> JacobianPoints:
-    x, y, z = _kernel_fn("dbl")(p.x, p.y, p.z)
+    x, y, z = _kernel_fn("dbl", _interp())(p.x, p.y, p.z)
     return JacobianPoints(x, y, z, p.inf)
 
 
 def add(p: JacobianPoints, q: JacobianPoints) -> JacobianPoints:
-    x, y, z, i = _kernel_fn("add")(
+    x, y, z, i = _kernel_fn("add", _interp())(
         p.x, p.y, p.z, _m(p.inf), q.x, q.y, q.z, _m(q.inf)
     )
     return JacobianPoints(x, y, z, i[0] != 0)
 
 
 def mixed_add(p: JacobianPoints, q: AffinePoints) -> JacobianPoints:
-    x, y, z, i = _kernel_fn("mixed_add")(
+    x, y, z, i = _kernel_fn("mixed_add", _interp())(
         p.x, p.y, p.z, _m(p.inf), q.x, q.y, _m(q.inf)
     )
     return JacobianPoints(x, y, z, i[0] != 0)

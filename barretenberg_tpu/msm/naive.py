@@ -65,3 +65,37 @@ def msm(scalars_mont: jnp.ndarray, points: AffinePoints) -> JacobianPoints:
     if n < MSM_PIPPENGER_THRESHOLD:
         return naive_msm(scalars_mont, points)
     return pippenger(scalars_mont, points)
+
+
+@functools.partial(jax.jit, static_argnames=("c", "block", "use_pippenger"))
+def _batched_msm_impl(scalars_b, px, py, pinf, c, block, use_pippenger):
+    from .pippenger import _pippenger_impl
+
+    points = AffinePoints(px, py, pinf)
+    if use_pippenger:
+        fn = lambda s: _pippenger_impl.__wrapped__(s, points, c, block)  # noqa: E731
+    else:
+        fn = lambda s: naive_msm.__wrapped__(s, points)  # noqa: E731
+    return jax.vmap(fn)(scalars_b)
+
+
+def batched_msm(scalars_list, points: AffinePoints) -> JacobianPoints:
+    """B MSMs over the same point set as one device call (the reference's
+    batched_scalar_multiplications rationale, scalar_multiplication.cpp:
+    650-772: the prover commits wire/quotient groups together). Returns a
+    JacobianPoints batch of shape (B,)."""
+    from .pippenger import optimal_window
+
+    b = len(scalars_list)
+    stacked = jnp.stack(scalars_list)  # (B, 18, n)
+    n = stacked.shape[2]
+    use_pip = n >= MSM_PIPPENGER_THRESHOLD
+    c = optimal_window(n) if use_pip else 0
+    block = min(128, max(16, 2 * n)) if use_pip else 0
+    out = _batched_msm_impl(
+        stacked, points.x, points.y, points.inf, c, block, use_pip
+    )
+    # vmap output coords: (B, 18, 1) -> (18, B)
+    return JacobianPoints(
+        out.x[:, :, 0].T, out.y[:, :, 0].T, out.z[:, :, 0].T, out.inf[:, 0]
+    )

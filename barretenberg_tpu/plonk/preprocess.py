@@ -18,14 +18,16 @@ def preprocess(prover) -> Verifier:
         prover.reference_string.g2_x,
         g2_lines=prover.reference_string.g2_miller_lines,
     )
-    sigma_commitments = []
-    for mapping in (
-        prover.sigma_1_mapping,
-        prover.sigma_2_mapping,
-        prover.sigma_3_mapping,
-    ):
-        lagrange = compute_permutation_lagrange_base(mapping, small)
-        sigma_commitments.append(prover.commit(fft.ifft(lagrange, small)))
+    sigma_polys = [
+        fft.ifft(compute_permutation_lagrange_base(mapping, small), small)
+        for mapping in (
+            prover.sigma_1_mapping,
+            prover.sigma_2_mapping,
+            prover.sigma_3_mapping,
+        )
+    ]
+    # one 3-way batched MSM (preprocess.hpp:16-57 batches exactly these)
+    sigma_commitments = prover.commit_batch(sigma_polys)
     verifier.sigma_1_commitment = sigma_commitments[0]
     verifier.sigma_2_commitment = sigma_commitments[1]
     verifier.sigma_3_commitment = sigma_commitments[2]

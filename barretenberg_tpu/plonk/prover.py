@@ -97,6 +97,18 @@ class Prover:
         aff = g1.batch_normalize(res)
         return (fq.decode(aff.x)[0], fq.decode(aff.y)[0])
 
+    def commit_batch(self, coeffs_list) -> list:
+        """B commitments as one batched MSM + one normalize + one host sync
+        (the reference batches exactly these, scalar_multiplication.cpp:
+        650-674)."""
+        from ..msm import batched_msm
+
+        res = batched_msm(coeffs_list, self.monomials)
+        aff = g1.batch_normalize(res)
+        xs = fq.decode(aff.x)
+        ys = fq.decode(aff.y)
+        return list(zip(xs, ys))
+
     # ------------------------------------------------------------------
     # Round 1
     # ------------------------------------------------------------------
@@ -110,10 +122,12 @@ class Prover:
         self.w_o = fft.ifft(self.w_o, small)
 
     def compute_wire_commitments(self) -> None:
-        """(prover.cpp:65-86)."""
-        self.proof.w_l_commitment = self.commit(self.w_l)
-        self.proof.w_r_commitment = self.commit(self.w_r)
-        self.proof.w_o_commitment = self.commit(self.w_o)
+        """(prover.cpp:65-86): one 3-way batched MSM."""
+        (
+            self.proof.w_l_commitment,
+            self.proof.w_r_commitment,
+            self.proof.w_o_commitment,
+        ) = self.commit_batch([self.w_l, self.w_r, self.w_o])
         self.challenges.gamma = fs.compute_gamma(self.proof)
         self.challenges.beta = fs.compute_beta(self.proof, self.challenges.gamma)
 
@@ -281,9 +295,11 @@ class Prover:
         """(prover.cpp:107-122)."""
         q = self.state.quotient_large
         n = self.n
-        self.proof.t_lo_commitment = self.commit(q[:, :n])
-        self.proof.t_mid_commitment = self.commit(q[:, n : 2 * n])
-        self.proof.t_hi_commitment = self.commit(q[:, 2 * n : 3 * n])
+        (
+            self.proof.t_lo_commitment,
+            self.proof.t_mid_commitment,
+            self.proof.t_hi_commitment,
+        ) = self.commit_batch([q[:, :n], q[:, n : 2 * n], q[:, 2 * n : 3 * n]])
         self.challenges.z = fs.compute_evaluation_challenge(self.proof)
 
     # ------------------------------------------------------------------
@@ -425,8 +441,10 @@ class Prover:
         shifted_w, _ = arithmetic.compute_kate_opening_coefficients(
             shifted_opening, shifted_z
         )
-        self.proof.pi_z_commitment = self.commit(opening_w)
-        self.proof.pi_z_omega_commitment = self.commit(shifted_w)
+        (
+            self.proof.pi_z_commitment,
+            self.proof.pi_z_omega_commitment,
+        ) = self.commit_batch([opening_w, shifted_w])
 
     # ------------------------------------------------------------------
     def construct_proof(self) -> Proof:

@@ -120,7 +120,7 @@ class ReferenceString:
                 bits_np[nbits - 1 - b, i] = (s >> b) & 1
         gen = g1.generator((degree,))
         mono_jac = g1.scalar_mul_bits(gen, jnp.asarray(bits_np))
-        monomials = g1.batch_normalize(mono_jac)
+        monomials = g1.batch_normalize_chunked(mono_jac)
         g2_x = host_curve.g2_mul(host_curve.G2_GENERATOR, tau)
         return ReferenceString(monomials, g2_x, degree)
 

@@ -62,8 +62,26 @@ def keccak_f1600(state: list[int]) -> list[int]:
     return a
 
 
+_native_keccak = None
+_native_checked = False
+
+
 def keccak256(data: bytes) -> bytes:
-    """Keccak-256 with the original 0x01 padding (NOT sha3-256's 0x06)."""
+    """Keccak-256 with the original 0x01 padding (NOT sha3-256's 0x06).
+    Dispatches to the native C sponge (barretenberg_tpu/native) when it
+    builds; this Python path is the fallback and oracle."""
+    global _native_keccak, _native_checked
+    if not _native_checked:
+        from ..native import get_keccak
+
+        _native_keccak = get_keccak()
+        _native_checked = True
+    if _native_keccak is not None:
+        return _native_keccak(data)
+    return _keccak256_py(data)
+
+
+def _keccak256_py(data: bytes) -> bytes:
     rate = 136  # 1088-bit rate
     state = [0] * 25
     # absorb full blocks

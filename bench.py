@@ -28,6 +28,10 @@ import numpy as np
 SRS_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".srs_cache")
 
 
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def _sync(x):
     return jax.block_until_ready(x)
 
@@ -54,8 +58,13 @@ def get_srs(degree: int):
     os.makedirs(SRS_CACHE_DIR, exist_ok=True)
     path = os.path.join(SRS_CACHE_DIR, f"srs_{degree}.dat")
     if os.path.exists(path):
+        _log(f"loading cached SRS degree {degree}")
         return ReferenceString.load(path, degree)
+    _log(f"generating SRS degree {degree} on device")
+    t0 = time.perf_counter()
     srs = ReferenceString.generate(degree, 0xA11CE)
+    _sync(srs.monomials.x)
+    _log(f"SRS generated in {time.perf_counter() - t0:.1f}s; saving")
     mono = srs.monomials_host()
     ReferenceString.save(path, mono[1:], srs.g2_x)
     return srs
@@ -143,8 +152,11 @@ def main():
     }
     msm_log = args.msm_log_n or (12 if args.quick else 16)
 
+    _log("mont_mul 2^20")
     bench_mont_mul(1 << 20, details)
+    _log("fft")
     bench_fft(12 if args.quick else 20, details)
+    _log(f"msm 2^{msm_log}")
     us_per_point = bench_msm(msm_log, details)
     if args.prove:
         bench_prove(10 if args.quick else 14, details)

@@ -168,6 +168,38 @@ def test_prove_and_verify_fixture():
     assert verifier.verify_proof(proof)
 
 
+def test_golden_proof_digest():
+    """Pins the full proof byte serialization for the fixed-seed n=16
+    fixture. Any silent change to limb encoding, Fiat-Shamir buffer layout,
+    commitment math, or the prover's round structure changes this digest
+    (SURVEY.md section 7.2 step 7's bit-exactness gate)."""
+    from barretenberg_tpu.transcript.keccak import keccak256
+
+    prover = build_fixture_prover(16, seed=7)
+    proof = prover.construct_proof()
+    blob = proof.serialize()
+    assert len(blob) == 800
+    assert (
+        keccak256(blob).hex()
+        == "f9b1f779dea05d9cd75e1e34e69dc3ca20b1b131044e767a52f68a9feb50a990"
+    )
+
+
+def test_native_keccak_matches_python_oracle():
+    import os
+
+    from barretenberg_tpu.transcript import keccak as K
+
+    if K._native_keccak is None:
+        import pytest
+
+        pytest.skip("native keccak unavailable")
+    rng = os.urandom
+    for size in (0, 1, 135, 136, 137, 500):
+        d = rng(size)
+        assert K._native_keccak(d) == K._keccak256_py(d)
+
+
 def test_tampered_proof_rejected():
     n = 16
     prover = build_fixture_prover(n, seed=11)

@@ -288,3 +288,142 @@ def pippenger(
         c = optimal_window(n)
     block = min(block, max(16, 2 * n))
     return _pippenger_impl(scalars_mont, points, c, block)
+
+
+class PippengerPointTable:
+    """Per-round shifted point table for a fixed point set: table row r
+    holds 2^(rc) * P_i (the analog of the reference's per-round tables in
+    pippenger_precomputed, scalar_multiplication.cpp:478-573)."""
+
+    def __init__(self, x, y, inf, c: int, rounds: int, n: int):
+        self.x, self.y, self.inf = x, y, inf  # (18, rounds*n), (rounds*n,)
+        self.c, self.rounds, self.n = c, rounds, n
+
+
+def generate_pippenger_point_table(
+    points: AffinePoints, c: int | None = None
+) -> PippengerPointTable:
+    """Builds the shifted tables with c doublings per round on device
+    (scalar_multiplication.cpp:131-140's table generation, extended to the
+    per-round form)."""
+    from .wnaf import HALF_BITS
+
+    n = points.x.shape[1]
+    if c is None:
+        c = optimal_window(n)
+    rounds = -(-HALF_BITS // c) + 1
+    xs, ys, infs = [points.x], [points.y], [points.inf]
+    cur = g1.to_jacobian(points)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def dbl_k(p, k):
+        return jax.lax.fori_loop(0, k, lambda _, q: g1.dbl(q), p)
+
+    for _ in range(rounds - 1):
+        cur = dbl_k(cur, c)
+        aff = g1.batch_normalize_chunked(cur)
+        xs.append(aff.x)
+        ys.append(aff.y)
+        infs.append(aff.inf)
+    return PippengerPointTable(
+        jnp.concatenate(xs, axis=1),
+        jnp.concatenate(ys, axis=1),
+        jnp.concatenate(infs, axis=0),
+        c,
+        rounds,
+        n,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("c", "rounds", "n", "block"))
+def _pippenger_precomputed_impl(
+    scalars_mont, tx, ty, tinf, c: int, rounds: int, n: int, block: int
+):
+    # digits for both GLV halves: (R, 2N), laid out [d1 | d2] per round
+    k1, k2 = split_scalars(scalars_mont)
+    d1 = signed_digits(k1, c)
+    d2 = signed_digits(k2, c)
+    digits = jnp.concatenate([d1, d2], axis=1).reshape(-1)  # (R*2N,)
+
+    # entry points: round r, first N = table row r, next N = endo images
+    tx3 = tx.reshape(NUM_LIMBS, rounds, n)
+    ty3 = ty.reshape(NUM_LIMBS, rounds, n)
+    ti2 = tinf.reshape(rounds, n)
+    beta_x = fq.mul_by_constant(tx3, fq.params.cube_root)
+    px = jnp.concatenate([tx3, beta_x], axis=2).reshape(NUM_LIMBS, rounds * 2 * n)
+    py_pos = jnp.concatenate([ty3, fq.neg(ty3)], axis=2).reshape(
+        NUM_LIMBS, rounds * 2 * n
+    )
+    pinf = jnp.concatenate([ti2, ti2], axis=1).reshape(rounds * 2 * n)
+    neg_py = fq.neg(py_pos)
+
+    m_total = rounds * 2 * n
+    npad = -(-m_total // block) * block
+    pad = npad - m_total
+    if pad:
+        digits = jnp.pad(digits, (0, pad))
+        px = jnp.pad(px, ((0, 0), (0, pad)))
+        py_pos = jnp.pad(py_pos, ((0, 0), (0, pad)))
+        neg_py = jnp.pad(neg_py, ((0, 0), (0, pad)))
+        pinf = jnp.pad(pinf, (0, pad), constant_values=True)
+
+    nbuckets = 1 << (c - 1)
+    negate = digits < 0
+    mag = jnp.abs(digits).astype(jnp.uint32)
+    bucket = jnp.where(mag == 0, jnp.uint32(nbuckets), mag - 1)
+    pts = AffinePoints(
+        px, jnp.where(negate[None], neg_py, py_pos), pinf | (mag == 0)
+    )
+    # ONE bucket accumulation over every (round, point) entry: the shifted
+    # tables absorb the 2^(rc) factors, so no doublings and no round loop.
+    return _accumulate_window(bucket, pts, nbuckets, block)
+
+
+def pippenger_precomputed(
+    scalars_mont: jnp.ndarray, table: PippengerPointTable, block: int = 128
+) -> JacobianPoints:
+    """MSM against a precomputed table (scalar_multiplication.cpp:478-573):
+    all rounds share one sort+segment-scan pass."""
+    return _pippenger_precomputed_impl(
+        scalars_mont,
+        table.x,
+        table.y,
+        table.inf,
+        table.c,
+        table.rounds,
+        table.n,
+        block,
+    )
+
+
+def pippenger_low_memory(
+    scalars_mont: jnp.ndarray,
+    points: AffinePoints,
+    chunk: int = 1 << 16,
+    c: int | None = None,
+) -> JacobianPoints:
+    """Chunked MSM with bounded peak memory (the analog of the reference's
+    pippenger_low_memory, scalar_multiplication.cpp:142-263): process the
+    point set in fixed-size chunks with one compiled shape, tree-add the
+    partial sums."""
+    n = scalars_mont.shape[1]
+    if n <= chunk:
+        return pippenger(scalars_mont, points, c=c)
+    if c is None:
+        c = optimal_window(chunk)
+    acc = None
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        s = scalars_mont[:, lo:hi]
+        p = AffinePoints(points.x[:, lo:hi], points.y[:, lo:hi], points.inf[lo:hi])
+        if hi - lo != chunk:
+            pad = chunk - (hi - lo)
+            s = jnp.pad(s, ((0, 0), (0, pad)))
+            p = AffinePoints(
+                jnp.pad(p.x, ((0, 0), (0, pad))),
+                jnp.pad(p.y, ((0, 0), (0, pad))),
+                jnp.pad(p.inf, (0, pad), constant_values=True),
+            )
+        part = _pippenger_impl(s, p, c, 128)
+        acc = part if acc is None else g1.add(acc, part)
+    return acc

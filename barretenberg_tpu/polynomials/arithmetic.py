@@ -153,3 +153,16 @@ def get_lagrange_evaluations(z: int, domain: EvaluationDomain) -> LagrangeEvalua
         l_1=scaled * pow(d1, -1, p) % p,
         l_n_minus_1=scaled * pow(d2, -1, p) % p,
     )
+
+
+def compress_fft(evals: jnp.ndarray, factor_log2: int) -> jnp.ndarray:
+    """Evaluations on a 2^k domain -> evaluations on the 2^(k-j) subdomain
+    (every 2^j-th point; reference polynomial_arithmetic.cpp:629-639)."""
+    return evals[:, :: 1 << factor_log2]
+
+
+def shrink_evaluation_domain(coeffs: jnp.ndarray, new_size: int) -> jnp.ndarray:
+    """Truncate a coefficient array to a smaller power-of-two domain
+    (reference polynomial.cpp:330-346; valid when the high coefficients are
+    zero - the caller's responsibility, as in the reference)."""
+    return coeffs[:, :new_size]

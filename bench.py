@@ -144,6 +144,13 @@ def main():
     ap.add_argument("--quick", action="store_true", help="small sizes only")
     ap.add_argument("--msm-log-n", type=int, default=None)
     ap.add_argument("--prove", action="store_true", help="include PLONK prove")
+    ap.add_argument(
+        "--profile",
+        metavar="DIR",
+        default=None,
+        help="capture a jax.profiler trace of the MSM (the analog of the "
+        "reference's BARRETENBERG_PROFILING binary, main.cpp:59-70)",
+    )
     args = ap.parse_args()
 
     details = {
@@ -157,7 +164,12 @@ def main():
     _log("fft")
     bench_fft(12 if args.quick else 20, details)
     _log(f"msm 2^{msm_log}")
-    us_per_point = bench_msm(msm_log, details)
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            us_per_point = bench_msm(msm_log, details)
+        _log(f"profiler trace written to {args.profile}")
+    else:
+        us_per_point = bench_msm(msm_log, details)
     if args.prove:
         bench_prove(10 if args.quick else 14, details)
 

@@ -15,7 +15,7 @@ from barretenberg_tpu.fields import fq, fr
 from barretenberg_tpu.groups import JacobianPoints
 from barretenberg_tpu.groups.g1 import g1, random_affine_points
 
-N = 1024  # >= one pallas tile
+N = 1024  # one full pallas tile
 
 
 @pytest.fixture(autouse=True)

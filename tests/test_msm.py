@@ -48,3 +48,45 @@ def test_pippenger_edge_scalars(points):
 def test_pippenger_all_zero(points):
     res = pippenger(fr.encode([0] * N), points, c=C, block=BLOCK)
     assert bool(res.inf.all())
+
+
+def test_pippenger_low_memory_matches(points):
+    from barretenberg_tpu.msm.pippenger import pippenger_low_memory
+
+    rng = np.random.default_rng(33)
+    scalars = [int.from_bytes(rng.bytes(32), "little") % fr.p for _ in range(N)]
+    res = jacobian_to_host(
+        pippenger_low_memory(fr.encode(scalars), points, chunk=16, c=C)
+    )[0]
+    assert res == host_curve.g1_msm(points_to_host(points), scalars)
+
+
+def test_pippenger_precomputed_matches(points):
+    from barretenberg_tpu.msm.pippenger import (
+        generate_pippenger_point_table,
+        pippenger_precomputed,
+    )
+
+    rng = np.random.default_rng(34)
+    scalars = [0, 1, fr.p - 1] + [
+        int.from_bytes(rng.bytes(32), "little") % fr.p for _ in range(N - 3)
+    ]
+    table = generate_pippenger_point_table(points, c=C)
+    res = jacobian_to_host(
+        pippenger_precomputed(fr.encode(scalars), table, block=BLOCK)
+    )[0]
+    assert res == host_curve.g1_msm(points_to_host(points), scalars)
+
+
+def test_batched_msm_matches(points):
+    from barretenberg_tpu.msm import batched_msm
+
+    rng = np.random.default_rng(35)
+    groups = [
+        [int.from_bytes(rng.bytes(32), "little") % fr.p for _ in range(N)]
+        for _ in range(3)
+    ]
+    res = batched_msm([fr.encode(g) for g in groups], points)
+    got = jacobian_to_host(res)
+    want = [host_curve.g1_msm(points_to_host(points), g) for g in groups]
+    assert got == want

@@ -67,35 +67,69 @@ def msm(scalars_mont: jnp.ndarray, points: AffinePoints) -> JacobianPoints:
     return pippenger(scalars_mont, points)
 
 
-@functools.partial(jax.jit, static_argnames=("c", "block", "use_pippenger"))
-def _batched_msm_impl(scalars_b, px, py, pinf, c, block, use_pippenger):
-    from .pippenger import _pippenger_impl
-
-    points = AffinePoints(px, py, pinf)
-    if use_pippenger:
-        fn = lambda s: _pippenger_impl.__wrapped__(s, points, c, block)  # noqa: E731
-    else:
-        fn = lambda s: naive_msm.__wrapped__(s, points)  # noqa: E731
-    return jax.vmap(fn)(scalars_b)
+@functools.partial(jax.jit, static_argnames=("b",))
+def _batched_naive_impl(scalars_cat, px, py, pinf, b):
+    """B MSMs via ONE concatenated double-and-add sweep: per-point products
+    over (18, B*n) lanes, then a per-group tree reduction. Reuses the
+    unbatched kernel structure - vmapping the scan instead made XLA compile
+    times explode."""
+    n = scalars_cat.shape[1] // b
+    points = AffinePoints(
+        jnp.tile(px, (1, b)), jnp.tile(py, (1, b)), jnp.tile(pinf, b)
+    )
+    bits = scalar_digits(scalars_cat, 1)[::-1]
+    per_point = g1.scalar_mul_bits(points, bits)
+    # (18, B, n) -> tree-sum the n axis per group
+    pts = JacobianPoints(
+        per_point.x.reshape(18, b, n),
+        per_point.y.reshape(18, b, n),
+        per_point.z.reshape(18, b, n),
+        per_point.inf.reshape(b, n),
+    )
+    size = n
+    while size > 1:
+        half = size // 2
+        odd = size - 2 * half
+        lo = JacobianPoints(
+            pts.x[:, :, :half], pts.y[:, :, :half], pts.z[:, :, :half],
+            pts.inf[:, :half],
+        )
+        hi = JacobianPoints(
+            pts.x[:, :, half : 2 * half], pts.y[:, :, half : 2 * half],
+            pts.z[:, :, half : 2 * half], pts.inf[:, half : 2 * half],
+        )
+        summed = g1.add(lo, hi)
+        if odd:
+            pts = JacobianPoints(
+                jnp.concatenate([summed.x, pts.x[:, :, -1:]], axis=2),
+                jnp.concatenate([summed.y, pts.y[:, :, -1:]], axis=2),
+                jnp.concatenate([summed.z, pts.z[:, :, -1:]], axis=2),
+                jnp.concatenate([summed.inf, pts.inf[:, -1:]], axis=1),
+            )
+        else:
+            pts = summed
+        size = half + odd
+    return JacobianPoints(
+        pts.x[:, :, 0], pts.y[:, :, 0], pts.z[:, :, 0], pts.inf[:, 0]
+    )
 
 
 def batched_msm(scalars_list, points: AffinePoints) -> JacobianPoints:
-    """B MSMs over the same point set as one device call (the reference's
+    """B MSMs over the same point set (the reference's
     batched_scalar_multiplications rationale, scalar_multiplication.cpp:
-    650-772: the prover commits wire/quotient groups together). Returns a
-    JacobianPoints batch of shape (B,)."""
-    from .pippenger import optimal_window
-
+    650-772: the prover commits wire/quotient groups together). Small sizes
+    fuse into one concatenated device call; large sizes reuse the single
+    compiled Pippenger graph per group. Returns a (B,) JacobianPoints batch.
+    """
     b = len(scalars_list)
-    stacked = jnp.stack(scalars_list)  # (B, 18, n)
-    n = stacked.shape[2]
-    use_pip = n >= MSM_PIPPENGER_THRESHOLD
-    c = optimal_window(n) if use_pip else 0
-    block = min(128, max(16, 2 * n)) if use_pip else 0
-    out = _batched_msm_impl(
-        stacked, points.x, points.y, points.inf, c, block, use_pip
-    )
-    # vmap output coords: (B, 18, 1) -> (18, B)
+    n = scalars_list[0].shape[1]
+    if n < MSM_PIPPENGER_THRESHOLD:
+        cat = jnp.concatenate(scalars_list, axis=1)
+        return _batched_naive_impl(cat, points.x, points.y, points.inf, b)
+    outs = [pippenger(s, points) for s in scalars_list]
     return JacobianPoints(
-        out.x[:, :, 0].T, out.y[:, :, 0].T, out.z[:, :, 0].T, out.inf[:, 0]
+        jnp.concatenate([o.x for o in outs], axis=1),
+        jnp.concatenate([o.y for o in outs], axis=1),
+        jnp.concatenate([o.z for o in outs], axis=1),
+        jnp.concatenate([o.inf for o in outs], axis=0),
     )

@@ -1,4 +1,4 @@
-"""PLONK prover, TPU-resident bulk math with host Fiat-Shamir rounds.
+"""PLONK prover: jit-compiled device phases with host Fiat-Shamir rounds.
 
 Mirrors the round structure of the reference prover
 (reference: waffle/proof_system/prover/prover.cpp:661-670):
@@ -9,15 +9,21 @@ Mirrors the round structure of the reference prover
   round 4: evaluations + linearization r(X)        -> nu
   round 5: Kate opening polynomials + 2 commitments
 
-All polynomial data lives on device as (18, n) limb arrays; challenges are
-host ints (keccak transcript is inherently sequential host work); per-round
-device work is dispatched eagerly. The reference's OpenMP domain loops
-(types.hpp:52-68) map to whole-array lane parallelism; its 6 serial prefix-
-product chains (prover.cpp:191-202) become one associative scan.
+All polynomial data lives on device as (18, n) limb arrays. Challenges are
+host ints (keccak transcript is inherently sequential host work) that enter
+the device phases as ENCODED (18, 1) ARRAYS, so each phase is one jitted
+dispatch compiled once per circuit size - not one dispatch per primitive
+(remote-TPU dispatch latency would otherwise dominate) and not one compile
+per proof. The reference's OpenMP domain loops (types.hpp:52-68) map to
+whole-array lane parallelism; its 6 serial prefix-product chains
+(prover.cpp:191-202) become one associative scan.
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,6 +38,11 @@ from .permutation import compute_permutation_lagrange_base
 from .proof import Proof
 
 P = fr.p
+
+
+def enc(value: int) -> jnp.ndarray:
+    """Host int -> (18, 1) internal-Montgomery array (challenge transport)."""
+    return fr.encode([value % P])
 
 
 class Challenges:
@@ -51,6 +62,9 @@ class CircuitState:
         self.small_domain = get_domain(n)
         self.mid_domain = get_domain(2 * n)
         self.large_domain = get_domain(4 * n)
+        for d in (self.small_domain, self.mid_domain, self.large_domain):
+            d.warm_tables(inverse=False, coset=True)
+            d.warm_tables(inverse=True)
         self.w_l_fft = None
         self.w_r_fft = None
         self.w_o_fft = None
@@ -60,6 +74,176 @@ class CircuitState:
     @staticmethod
     def pad(coeffs: jnp.ndarray, size: int) -> jnp.ndarray:
         return jnp.pad(coeffs, ((0, 0), (0, size - coeffs.shape[1])))
+
+
+# ---------------------------------------------------------------------------
+# Jitted device phases (static over domains, dynamic over challenge arrays)
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("small",))
+def _z_evals_jit(w_l, w_r, w_o, s1, s2, s3, beta, gamma, bk1, bk2, small):
+    """(prover.cpp:135-222): grand-product numerator/denominator lane
+    products, one associative scan each, batch inversion, Z evaluations."""
+    roots = small.root_vector()
+    mul, add = fr.mont_mul, fr.add
+    num = mul(
+        mul(add(add(mul(roots, beta), gamma), w_l), add(add(mul(roots, bk1), gamma), w_r)),
+        add(add(mul(roots, bk2), gamma), w_o),
+    )
+    den = mul(
+        mul(add(add(mul(s1, beta), gamma), w_l), add(add(mul(s2, beta), gamma), w_r)),
+        add(add(mul(s3, beta), gamma), w_o),
+    )
+    pnum = jax.lax.associative_scan(mul, num, axis=1)
+    pden = jax.lax.associative_scan(mul, den, axis=1)
+    pden_inv = fr.batch_invert(pden)
+    z_tail = mul(pnum, pden_inv)[:, : w_l.shape[1] - 1]
+    one = fr.full((1,), fr.one)
+    return jnp.concatenate([one, z_tail], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("small", "mid", "large"))
+def _quotient_grand_product_jit(
+    w_l_c, w_r_c, w_o_c, z_poly, s1_ev, s2_ev, s3_ev, ch, small, mid, large
+):
+    """Permutation + identity grand-product terms and the L_1 boundary terms
+    (prover.cpp:224-402), as one fused graph. Returns the wire/z ffts (kept
+    for the widgets), beta-scaled sigma coefficient forms, and the partial
+    quotients."""
+    n = small.size
+    mul, add, sub = fr.mont_mul, fr.add, fr.sub
+
+    def pad4(c):
+        return jnp.pad(c, ((0, 0), (0, 4 * n - c.shape[1])))
+
+    def coset_fft_large(c):
+        return fft._fft_core(mul(c, large.coset_scale), large, inverse=False)
+
+    w_l_fft = coset_fft_large(pad4(w_l_c))
+    w_r_fft = coset_fft_large(pad4(w_r_c))
+    w_o_fft = coset_fft_large(pad4(w_o_c))
+    z_fft = mul(coset_fft_large(pad4(z_poly)), ch["alpha"])
+    z_fft_shifted = jnp.roll(z_fft, -4, axis=1)  # Z(X.w), prover.cpp:280-289
+
+    # sigma polys -> coefficient form scaled by beta (prover.cpp:245-269)
+    dinv = fr.full((1,), fr.const(small.domain_inverse))
+
+    def ifft_beta(ev):
+        out = fft._fft_core(ev, small, inverse=True)
+        return mul(mul(out, dinv), ch["beta"])
+
+    s1_c = ifft_beta(s1_ev)
+    s2_c = ifft_beta(s2_ev)
+    s3_c = ifft_beta(s3_ev)
+
+    def perm_factor(sigma_c, wire_c):
+        s = add(sigma_c, wire_c)
+        s = jnp.concatenate([add(s[:, :1], ch["gamma"]), s[:, 1:]], axis=1)
+        return coset_fft_large(pad4(s))
+
+    f1 = perm_factor(s1_c, w_l_c)
+    f2 = perm_factor(s2_c, w_r_c)
+    f3 = perm_factor(s3_c, w_o_c)
+    quotient_large = fr.neg(mul(mul(f1, f2), mul(f3, z_fft_shifted)))
+
+    # identity term (prover.cpp:302-341)
+    coset = large.coset_root_vector()
+    t0 = add(add(mul(coset, ch["beta"]), ch["gamma"]), w_l_fft)
+    t1 = add(add(mul(coset, ch["bk1"]), ch["gamma"]), w_r_fft)
+    t2 = add(add(mul(coset, ch["bk2"]), ch["gamma"]), w_o_fft)
+    quotient_large = add(quotient_large, mul(mul(t0, t1), mul(t2, z_fft)))
+
+    # boundary terms on the mid domain (prover.cpp:350-402)
+    l_1 = arithmetic.compute_lagrange_polynomial_fft(small, mid)
+    l_1_shifted = jnp.roll(l_1, -4, axis=1)
+    t6 = mul(mul(sub(z_fft_shifted[:, ::2], ch["alpha"]), ch["alpha"]), l_1_shifted)
+    t4 = mul(mul(sub(z_fft[:, ::2], ch["alpha"]), ch["alpha_sq"]), l_1)
+    quotient_mid = add(t4, t6)
+
+    return (
+        w_l_fft,
+        w_r_fft,
+        w_o_fft,
+        s1_c,
+        s2_c,
+        s3_c,
+        quotient_mid,
+        quotient_large,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("small", "mid", "large"))
+def _quotient_finalize_jit(quotient_mid, quotient_large, small, mid, large):
+    """Z_H* division + coset iffts + mid/large combination
+    (prover.cpp:453-463)."""
+    n = small.size
+    qm = arithmetic.divide_by_pseudo_vanishing_polynomial(quotient_mid, small, mid)
+    ql = arithmetic.divide_by_pseudo_vanishing_polynomial(quotient_large, small, large)
+
+    def coset_ifft(ev, dom):
+        out = fft._fft_core(ev, dom, inverse=True)
+        out = fr.mont_mul(out, fr.full((1,), fr.const(dom.domain_inverse)))
+        return fr.mont_mul(out, dom.coset_scale_inverse)
+
+    qm = coset_ifft(qm, mid)
+    ql = coset_ifft(ql, large)
+    return jnp.concatenate(
+        [fr.add(ql[:, : 2 * n], qm), ql[:, 2 * n :]], axis=1
+    )
+
+
+@jax.jit
+def _powers_jit(z_arr, table_shape_like):
+    """(18, n) table of z^k from a (18, 1) z array (associative scan)."""
+    n = table_shape_like.shape[1]
+    one = fr.full((1,), fr.one)
+    zs = jnp.concatenate([one, jnp.broadcast_to(z_arr, (18, n - 1))], axis=1)
+    return jax.lax.associative_scan(fr.mont_mul, zs, axis=1)
+
+
+@jax.jit
+def _multi_eval_jit(polys, zp):
+    """polys: (18, B, n); zp: (18, n) -> (18, B) evaluations."""
+    prods = fr.mont_mul(polys, zp[:, None, :])
+    n = prods.shape[2]
+    while n > 1:
+        half = n // 2
+        lo = prods[:, :, :half]
+        hi = prods[:, :, half : 2 * half]
+        rem = prods[:, :, 2 * half :]
+        prods = jnp.concatenate([fr.add(lo, hi), rem], axis=2)
+        n = prods.shape[2]
+    return prods[:, :, 0]
+
+
+@jax.jit
+def _linear_combo_jit(polys, scalars):
+    """sum_j polys[:, j] * scalars[:, j]: polys (18, B, n), scalars (18, B)."""
+    terms = fr.mont_mul(polys, scalars[:, :, None])
+    b = terms.shape[1]
+    acc = terms[:, 0]
+    for j in range(1, b):
+        acc = fr.add(acc, terms[:, j])
+    return acc
+
+
+@jax.jit
+def _kate_jit(coeffs, f_eval, w_arr, neg_w_arr):
+    """(F(X) - F(z)) / (X - z) via the affine-recurrence associative scan
+    (polynomial_arithmetic.cpp:562-591). w_arr = -1/z encoded."""
+    n = coeffs.shape[1]
+    b0 = fr.mont_mul(fr.sub(coeffs[:, :1], f_eval), w_arr)
+    b = fr.mont_mul(coeffs, w_arr)
+    b = jnp.concatenate([b0, b[:, 1:]], axis=1)
+    one = fr.full((1,), fr.one)
+    m = jnp.concatenate([one, jnp.broadcast_to(neg_w_arr, (18, n - 1))], axis=1)
+
+    def combine(fst, snd):
+        m1, b1 = fst
+        m2, b2 = snd
+        return fr.mont_mul(m2, m1), fr.add(fr.mont_mul(m2, b1), b2)
+
+    _, d = jax.lax.associative_scan(combine, (m, b), axis=1)
+    return d
 
 
 class Prover:
@@ -135,56 +319,24 @@ class Prover:
     # Round 2: grand product
     # ------------------------------------------------------------------
     def compute_z_coefficients(self) -> None:
-        """(prover.cpp:135-222). The reference's 6 thread-parallel
-        accumulators + serial prefix products become two lane products and
-        one associative scan + batch inversion."""
+        """(prover.cpp:135-222)."""
         small = self.state.small_domain
-        n = self.n
         beta, gamma = self.challenges.beta, self.challenges.gamma
         k1 = fr.params.multiplicative_generator
         k2 = fr.params.alternate_multiplicative_generator
-
-        roots = small.root_vector()  # w^i
-        beta_roots = fr.mul_by_constant(roots, beta)
-        gamma_b = fr.full((n,), fr.const(gamma))
-
-        num = fr.mont_mul(
-            fr.mont_mul(
-                fr.add(fr.add(beta_roots, gamma_b), self._w_l_evals),
-                fr.add(
-                    fr.add(fr.mul_by_constant(roots, beta * k1 % P), gamma_b),
-                    self._w_r_evals,
-                ),
-            ),
-            fr.add(
-                fr.add(fr.mul_by_constant(roots, beta * k2 % P), gamma_b),
-                self._w_o_evals,
-            ),
+        z_evals = _z_evals_jit(
+            self._w_l_evals,
+            self._w_r_evals,
+            self._w_o_evals,
+            self.sigma_1,
+            self.sigma_2,
+            self.sigma_3,
+            enc(beta),
+            enc(gamma),
+            enc(beta * k1),
+            enc(beta * k2),
+            small,
         )
-        den = fr.mont_mul(
-            fr.mont_mul(
-                fr.add(
-                    fr.add(fr.mul_by_constant(self.sigma_1, beta), gamma_b),
-                    self._w_l_evals,
-                ),
-                fr.add(
-                    fr.add(fr.mul_by_constant(self.sigma_2, beta), gamma_b),
-                    self._w_r_evals,
-                ),
-            ),
-            fr.add(
-                fr.add(fr.mul_by_constant(self.sigma_3, beta), gamma_b),
-                self._w_o_evals,
-            ),
-        )
-        import jax
-
-        pnum = jax.lax.associative_scan(fr.mont_mul, num, axis=1)
-        pden = jax.lax.associative_scan(fr.mont_mul, den, axis=1)
-        pden_inv = fr.batch_invert(pden)
-        z_tail = fr.mont_mul(pnum, pden_inv)[:, : n - 1]
-        one = fr.full((1,), fr.one)
-        z_evals = jnp.concatenate([one, z_tail], axis=1)
         self.z_poly = fft.ifft(z_evals, small)
 
     def compute_z_commitment(self) -> None:
@@ -198,97 +350,49 @@ class Prover:
         """(prover.cpp:405-465)."""
         st = self.state
         small, mid, large = st.small_domain, st.mid_domain, st.large_domain
-        n = self.n
         alpha = self.challenges.alpha
         beta, gamma = self.challenges.beta, self.challenges.gamma
         k1 = fr.params.multiplicative_generator
         k2 = fr.params.alternate_multiplicative_generator
 
-        # 4n coset ffts of the wires
-        st.w_l_fft = fft.coset_fft(st.pad(self.w_l, 4 * n), large)
-        st.w_r_fft = fft.coset_fft(st.pad(self.w_r, 4 * n), large)
-        st.w_o_fft = fft.coset_fft(st.pad(self.w_o, 4 * n), large)
-
-        z_fft = fft.coset_fft_with_constant(
-            st.pad(self.z_poly, 4 * n), large, alpha
+        ch = {
+            "beta": enc(beta),
+            "gamma": enc(gamma),
+            "alpha": enc(alpha),
+            "alpha_sq": enc(alpha * alpha),
+            "bk1": enc(beta * k1),
+            "bk2": enc(beta * k2),
+        }
+        (
+            st.w_l_fft,
+            st.w_r_fft,
+            st.w_o_fft,
+            self.sigma_1,
+            self.sigma_2,
+            self.sigma_3,
+            st.quotient_mid,
+            st.quotient_large,
+        ) = _quotient_grand_product_jit(
+            self.w_l,
+            self.w_r,
+            self.w_o,
+            self.z_poly,
+            self.sigma_1,
+            self.sigma_2,
+            self.sigma_3,
+            ch,
+            small,
+            mid,
+            large,
         )
-        z_fft_shifted = jnp.roll(z_fft, -4, axis=1)  # Z(X.w), prover.cpp:280-289
 
-        # --- permutation grand product term (prover.cpp:224-300) ---------
-        # sigma polys -> coefficient form scaled by beta; keep for later.
-        self.sigma_1 = fft.ifft_with_constant(self.sigma_1, small, beta)
-        self.sigma_2 = fft.ifft_with_constant(self.sigma_2, small, beta)
-        self.sigma_3 = fft.ifft_with_constant(self.sigma_3, small, beta)
-
-        gamma_enc = fr.encode([gamma])
-
-        def perm_factor(sigma_coeff, wire_coeff):
-            s = fr.add(sigma_coeff, wire_coeff)
-            s = jnp.concatenate(
-                [fr.add(s[:, :1], gamma_enc), s[:, 1:]], axis=1
-            )
-            return fft.coset_fft(st.pad(s, 4 * n), large)
-
-        f1 = perm_factor(self.sigma_1, self.w_l)
-        f2 = perm_factor(self.sigma_2, self.w_r)
-        f3 = perm_factor(self.sigma_3, self.w_o)
-        perm = fr.mont_mul(fr.mont_mul(f1, f2), fr.mont_mul(f3, z_fft_shifted))
-        st.quotient_large = fr.neg(perm)
-
-        # --- identity grand product term (prover.cpp:302-341) ------------
-        coset = large.coset_root_vector()  # g * w4^i
-        beta_id = fr.mul_by_constant(coset, beta)
-        gamma_b4 = fr.full((4 * n,), fr.const(gamma))
-        t0 = fr.add(fr.add(beta_id, gamma_b4), st.w_l_fft)
-        t1 = fr.add(
-            fr.add(fr.mul_by_constant(coset, beta * k1 % P), gamma_b4), st.w_r_fft
-        )
-        t2 = fr.add(
-            fr.add(fr.mul_by_constant(coset, beta * k2 % P), gamma_b4), st.w_o_fft
-        )
-        ident = fr.mont_mul(fr.mont_mul(t0, t1), fr.mont_mul(t2, z_fft))
-        st.quotient_large = fr.add(st.quotient_large, ident)
-
-        # --- boundary terms on the mid domain (prover.cpp:350-402) -------
-        l_1 = arithmetic.compute_lagrange_polynomial_fft(small, mid)
-        l_1_shifted = jnp.roll(l_1, -4, axis=1)  # L_{n-1} on the coset
-        alpha_enc = fr.encode([alpha])
-        # T6 = (Z(X.w) - 1).alpha^2.L_{n-1}: z_fft carries alpha already
-        t6 = fr.mont_mul(
-            fr.mul_by_constant(
-                fr.sub(z_fft_shifted[:, ::2], alpha_enc), alpha
-            ),
-            l_1_shifted,
-        )
-        # T4 = (Z(X) - 1).alpha^3.L_1
-        t4 = fr.mont_mul(
-            fr.mul_by_constant(
-                fr.sub(z_fft[:, ::2], alpha_enc), alpha * alpha % P
-            ),
-            l_1,
-        )
-        st.quotient_mid = fr.add(t4, t6)
-
-        # --- widget gate constraints (prover.cpp:446-451) -----------------
+        # widget gate constraints (prover.cpp:446-451)
         alpha_base = pow(alpha, 4, P)
         for w in self.widgets:
             alpha_base = w.compute_quotient_contribution(alpha_base, alpha, st)
 
-        # --- divide by Z_H*, back to coefficient form ---------------------
-        st.quotient_mid = arithmetic.divide_by_pseudo_vanishing_polynomial(
-            st.quotient_mid, small, mid
-        )
-        st.quotient_large = arithmetic.divide_by_pseudo_vanishing_polynomial(
-            st.quotient_large, small, large
-        )
-        st.quotient_mid = fft.coset_ifft(st.quotient_mid, mid)
-        st.quotient_large = fft.coset_ifft(st.quotient_large, large)
-        st.quotient_large = jnp.concatenate(
-            [
-                fr.add(st.quotient_large[:, : 2 * n], st.quotient_mid),
-                st.quotient_large[:, 2 * n :],
-            ],
-            axis=1,
+        st.quotient_large = _quotient_finalize_jit(
+            st.quotient_mid, st.quotient_large, small, mid, large
         )
 
     def compute_quotient_commitment(self) -> None:
@@ -313,9 +417,18 @@ class Prover:
         beta_inv = pow(self.challenges.beta, -1, P)
         shifted_z = z * st.small_domain.root % P
 
-        self.proof.w_l_eval = arithmetic.evaluate(self.w_l, z)
-        self.proof.w_r_eval = arithmetic.evaluate(self.w_r, z)
-        self.proof.w_o_eval = arithmetic.evaluate(self.w_o, z)
+        # all the size-n evaluations at z and z*w as two batched dispatches
+        zp = _powers_jit(enc(z), self.w_l)
+        zp_shift = _powers_jit(enc(shifted_z), self.w_l)
+        polys_z = jnp.stack([self.w_l, self.w_r, self.w_o, self.sigma_1, self.sigma_2], axis=1)
+        evals_z = fr.decode(_multi_eval_jit(polys_z, zp))
+        self.proof.w_l_eval = evals_z[0]
+        self.proof.w_r_eval = evals_z[1]
+        self.proof.w_o_eval = evals_z[2]
+        # sigma polys are beta-scaled in coefficient form; undo for the proof
+        self.proof.sigma_1_eval = evals_z[3] * beta_inv % P
+        self.proof.sigma_2_eval = evals_z[4] * beta_inv % P
+
         deps = set()
         for w in self.widgets:
             deps |= w.dependencies
@@ -325,38 +438,43 @@ class Prover:
             REQUIRES_W_R_SHIFTED,
         )
 
-        if REQUIRES_W_L_SHIFTED in deps:
-            self.proof.w_l_shifted_eval = arithmetic.evaluate(self.w_l, shifted_z)
-        if REQUIRES_W_R_SHIFTED in deps:
-            self.proof.w_r_shifted_eval = arithmetic.evaluate(self.w_r, shifted_z)
-        if REQUIRES_W_O_SHIFTED in deps:
-            self.proof.w_o_shifted_eval = arithmetic.evaluate(self.w_o, shifted_z)
-
-        # sigma polys are beta-scaled in coefficient form; undo for the proof
-        self.proof.sigma_1_eval = (
-            arithmetic.evaluate(self.sigma_1, z) * beta_inv % P
+        shift_polys = [self.z_poly]
+        for flag, wire in (
+            (REQUIRES_W_L_SHIFTED, self.w_l),
+            (REQUIRES_W_R_SHIFTED, self.w_r),
+            (REQUIRES_W_O_SHIFTED, self.w_o),
+        ):
+            if flag in deps:
+                shift_polys.append(wire)
+        evals_sh = fr.decode(
+            _multi_eval_jit(jnp.stack(shift_polys, axis=1), zp_shift)
         )
-        self.proof.sigma_2_eval = (
-            arithmetic.evaluate(self.sigma_2, z) * beta_inv % P
-        )
-        self.proof.z_1_shifted_eval = arithmetic.evaluate(self.z_poly, shifted_z)
+        self.proof.z_1_shifted_eval = evals_sh[0]
+        idx = 1
+        for flag, attr in (
+            (REQUIRES_W_L_SHIFTED, "w_l_shifted_eval"),
+            (REQUIRES_W_R_SHIFTED, "w_r_shifted_eval"),
+            (REQUIRES_W_O_SHIFTED, "w_o_shifted_eval"),
+        ):
+            if flag in deps:
+                setattr(self.proof, attr, evals_sh[idx])
+                idx += 1
 
         for w in self.widgets:
             w.compute_proof_elements(self.proof, z)
 
-        t_eval = arithmetic.evaluate(
-            self.state.quotient_large[:, : 3 * n], z
-        )
+        t_eval = arithmetic.evaluate(self.state.quotient_large[:, : 3 * n], z)
 
         lagrange_evals = arithmetic.get_lagrange_evaluations(z, st.small_domain)
         linear_terms = compute_linear_terms(
             self.proof, self.challenges, lagrange_evals.l_1
         )
 
-        r = fr.add(
-            fr.mul_by_constant(self.z_poly, linear_terms.z_1),
-            fr.mul_by_constant(
-                self.sigma_3, linear_terms.sigma_3 * beta_inv % P
+        r = _linear_combo_jit(
+            jnp.stack([self.z_poly, self.sigma_3], axis=1),
+            jnp.concatenate(
+                [enc(linear_terms.z_1), enc(linear_terms.sigma_3 * beta_inv)],
+                axis=1,
             ),
         )
         alpha_base = pow(self.challenges.alpha, 4, P)
@@ -386,29 +504,37 @@ class Prover:
         z_pow_2n = pow(z, 2 * n, P)
 
         q = st.quotient_large
-        opening = fr.add(
-            q[:, :n],
-            fr.add(
-                fr.mul_by_constant(q[:, n : 2 * n], z_pow_n),
-                fr.mul_by_constant(q[:, 2 * n : 3 * n], z_pow_2n),
-            ),
-        )
-        from .widgets import arithmetic_linear_combo
-
-        opening = fr.add(
-            opening,
-            arithmetic_linear_combo(
+        opening = _linear_combo_jit(
+            jnp.stack(
                 [
-                    (self.r_poly, nu_pow[0]),
-                    (self.w_l, nu_pow[1]),
-                    (self.w_r, nu_pow[2]),
-                    (self.w_o, nu_pow[3]),
-                    (self.sigma_1, nu_pow[4] * beta_inv % P),
-                    (self.sigma_2, nu_pow[5] * beta_inv % P),
-                ]
+                    q[:, :n],
+                    q[:, n : 2 * n],
+                    q[:, 2 * n : 3 * n],
+                    self.r_poly,
+                    self.w_l,
+                    self.w_r,
+                    self.w_o,
+                    self.sigma_1,
+                    self.sigma_2,
+                ],
+                axis=1,
+            ),
+            jnp.concatenate(
+                [
+                    enc(1),
+                    enc(z_pow_n),
+                    enc(z_pow_2n),
+                    enc(nu_pow[0]),
+                    enc(nu_pow[1]),
+                    enc(nu_pow[2]),
+                    enc(nu_pow[3]),
+                    enc(nu_pow[4] * beta_inv),
+                    enc(nu_pow[5] * beta_inv),
+                ],
+                axis=1,
             ),
         )
-        shifted_opening = fr.mul_by_constant(self.z_poly, nu_pow[6])
+        shifted_terms = [(self.z_poly, nu_pow[6])]
 
         nu_base = nu_pow[7]
         deps = set()
@@ -426,10 +552,12 @@ class Prover:
             (REQUIRES_W_O_SHIFTED, self.w_o),
         ):
             if flag in deps:
-                shifted_opening = fr.add(
-                    shifted_opening, fr.mul_by_constant(wire, nu_base)
-                )
+                shifted_terms.append((wire, nu_base))
                 nu_base = nu_base * nu % P
+        shifted_opening = _linear_combo_jit(
+            jnp.stack([t for t, _ in shifted_terms], axis=1),
+            jnp.concatenate([enc(s) for _, s in shifted_terms], axis=1),
+        )
 
         for w in self.widgets:
             opening, nu_base = w.compute_opening_poly_contribution(
@@ -437,14 +565,17 @@ class Prover:
             )
 
         shifted_z = z * st.small_domain.root % P
-        opening_w, _ = arithmetic.compute_kate_opening_coefficients(opening, z)
-        shifted_w, _ = arithmetic.compute_kate_opening_coefficients(
-            shifted_opening, shifted_z
-        )
+        opening_w = self._kate(opening, z)
+        shifted_w = self._kate(shifted_opening, shifted_z)
         (
             self.proof.pi_z_commitment,
             self.proof.pi_z_omega_commitment,
         ) = self.commit_batch([opening_w, shifted_w])
+
+    def _kate(self, coeffs, point: int):
+        f_val = arithmetic.evaluate(coeffs, point)
+        w = (-pow(point, -1, P)) % P
+        return _kate_jit(coeffs, enc(f_val), enc(w), enc((-w) % P))
 
     # ------------------------------------------------------------------
     def construct_proof(self) -> Proof:

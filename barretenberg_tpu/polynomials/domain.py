@@ -98,8 +98,10 @@ class EvaluationDomain:
         self.bit_reverse_indices
         if inverse:
             self.inverse_twiddles
+            self._inverse_root_vector
         else:
             self.twiddles
+            self._root_vector
         if coset:
             self.coset_scale
             self.coset_scale_inverse

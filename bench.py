@@ -128,15 +128,37 @@ def bench_msm(log_n: int, details: dict, srs=None):
 
 
 def bench_prove(log_n: int, details: dict):
-    """Full PLONK prove at n gates (reference bench_plonk.cpp:18-92)."""
+    """Full PLONK prove at n gates (reference bench_plonk.cpp:18-92).
+    First call includes phase compiles; the second is the steady-state
+    number."""
     from tests.test_plonk import build_fixture_prover
 
     n = 1 << log_n
-    prover = build_fixture_prover(n)
+    srs = get_srs(n)
+    prover = build_fixture_prover(n, srs=srs)
     t0 = time.perf_counter()
     prover.construct_proof()
+    cold = time.perf_counter() - t0
+    _log(f"prove 2^{log_n} cold {cold:.1f}s")
+    prover = build_fixture_prover(n, srs=srs)
+    t0 = time.perf_counter()
+    proof = prover.construct_proof()
     wall = time.perf_counter() - t0
-    details[f"plonk_prove_2e{log_n}"] = {"n": n, "wall_s": wall}
+    # verify once for the record (bench_plonk.cpp benches this too)
+    from barretenberg_tpu.plonk import preprocess
+
+    prover2 = build_fixture_prover(n, srs=srs)
+    verifier = preprocess(prover2)
+    t1 = time.perf_counter()
+    ok = verifier.verify_proof(proof)
+    verify_s = time.perf_counter() - t1
+    details[f"plonk_prove_2e{log_n}"] = {
+        "n": n,
+        "wall_s": wall,
+        "cold_s": cold,
+        "verify_s": verify_s,
+        "verified": bool(ok),
+    }
 
 
 def main():
@@ -157,7 +179,18 @@ def main():
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }
-    msm_log = args.msm_log_n or (12 if args.quick else 16)
+    if args.msm_log_n:
+        msm_log = args.msm_log_n
+    elif args.quick:
+        msm_log = 12
+    else:
+        # prefer the largest size whose SRS is already on disk (2^20 is the
+        # headline scale; generating its SRS fresh costs ~5 min one-time)
+        msm_log = 16
+        for log in (20, 18, 16):
+            if os.path.exists(os.path.join(SRS_CACHE_DIR, f"srs_{1 << log}.dat")):
+                msm_log = log
+                break
 
     _log("mont_mul 2^20")
     bench_mont_mul(1 << 20, details)

@@ -65,7 +65,7 @@ def test_srs_file_roundtrip(tmp_path):
 # ---------------------------------------------------------------------------
 # Prover fixture (test_prover.cpp:73-162's random satisfiable circuit)
 # ---------------------------------------------------------------------------
-def build_fixture_prover(n: int, seed: int = 7) -> Prover:
+def build_fixture_prover(n: int, seed: int = 7, srs=None) -> Prover:
     rng = np.random.default_rng(seed)
 
     def rand():
@@ -123,7 +123,7 @@ def build_fixture_prover(n: int, seed: int = 7) -> Prover:
         q_c[j] = 0
     q_l[n - 1] = q_r[n - 1] = q_o[n - 1] = q_m[n - 1] = 0
 
-    prover = Prover(n, make_srs(n))
+    prover = Prover(n, srs if srs is not None else make_srs(n))
     prover.w_l = fr.encode(w_l)
     prover.w_r = fr.encode(w_r)
     prover.w_o = fr.encode(w_o)

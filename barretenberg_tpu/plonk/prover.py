@@ -254,11 +254,12 @@ class Prover:
       * reference string (SRS) with >= n monomials.
     """
 
-    def __init__(self, n: int, reference_string):
+    def __init__(self, n: int, reference_string, mesh=None):
         assert n & (n - 1) == 0
         self.n = n
         self.state = CircuitState(n)
         self.reference_string = reference_string
+        self.mesh = mesh  # optional jax.sharding.Mesh: sharded commit path
         self.monomials = g1.take_affine(
             reference_string.monomials, jnp.arange(n)
         )
@@ -277,14 +278,22 @@ class Prover:
     # ------------------------------------------------------------------
     def commit(self, coeffs: jnp.ndarray) -> tuple:
         """MSM against the SRS monomials -> host affine point."""
-        res = msm(coeffs, self.monomials)
+        if self.mesh is not None:
+            from ..parallel import sharded_msm
+
+            res = sharded_msm(coeffs, self.monomials, self.mesh)
+        else:
+            res = msm(coeffs, self.monomials)
         aff = g1.batch_normalize(res)
         return (fq.decode(aff.x)[0], fq.decode(aff.y)[0])
 
     def commit_batch(self, coeffs_list) -> list:
         """B commitments as one batched MSM + one normalize + one host sync
         (the reference batches exactly these, scalar_multiplication.cpp:
-        650-674)."""
+        650-674). With a mesh, each commitment runs as a mesh-sharded MSM
+        (points sharded over chips, all_gather reduction)."""
+        if self.mesh is not None:
+            return [self.commit(c) for c in coeffs_list]
         from ..msm import batched_msm
 
         res = batched_msm(coeffs_list, self.monomials)

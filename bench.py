@@ -161,11 +161,56 @@ def bench_prove(log_n: int, details: dict):
     }
 
 
+def bench_sha256(details: dict):
+    """SHA256 circuit prove/verify - the reference's flagship demo
+    (bench_sha256.cpp:23-120): one-block 'abc' through the stdlib gadget."""
+    import hashlib
+
+    from barretenberg_tpu.composer import StandardComposer
+    from barretenberg_tpu.plonk import preprocess
+    from barretenberg_tpu.stdlib import BitArray, sha256 as sha256_gadget
+
+    t0 = time.perf_counter()
+    ctx = StandardComposer()
+    inp = BitArray.from_string(ctx, b"abc")
+    out = sha256_gadget(inp)
+    ctx.create_dummy_gates()
+    witness_s = time.perf_counter() - t0
+    assert out.to_bytes() == hashlib.sha256(b"abc").digest()
+    gates = ctx.n
+    padded = 1
+    while padded < gates + 1:
+        padded <<= 1
+    srs = get_srs(padded)
+    _log(f"sha256 circuit: {gates} gates (padded {padded}), witness {witness_s:.1f}s")
+
+    t0 = time.perf_counter()
+    prover = ctx.preprocess(reference_string=srs)
+    verifier = preprocess(prover)
+    setup_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    proof = prover.construct_proof()
+    prove_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ok = verifier.verify_proof(proof)
+    verify_s = time.perf_counter() - t0
+    details["sha256_circuit"] = {
+        "gates": gates,
+        "padded_n": padded,
+        "witness_s": witness_s,
+        "setup_s": setup_s,
+        "prove_s": prove_s,
+        "verify_s": verify_s,
+        "verified": bool(ok),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small sizes only")
     ap.add_argument("--msm-log-n", type=int, default=None)
     ap.add_argument("--prove", action="store_true", help="include PLONK prove")
+    ap.add_argument("--sha256", action="store_true", help="include SHA256 circuit prove")
     ap.add_argument(
         "--profile",
         metavar="DIR",
@@ -205,6 +250,8 @@ def main():
         us_per_point = bench_msm(msm_log, details)
     if args.prove:
         bench_prove(10 if args.quick else 14, details)
+    if args.sha256:
+        bench_sha256(details)
 
     baseline_us = 4.0  # pippenger.md:7
     headline = {

@@ -93,6 +93,19 @@ class TestShardedMSM:
         got = sharded_msm(scalars, points, mesh)
         assert bool(g1.eq(want, got)[0])
 
+    def test_prover_sharded_commit_path(self, mesh):
+        """Full prove+verify with the prover's MSMs sharded over the mesh
+        (the DP analog of the reference's omp-batched MSM,
+        scalar_multiplication.cpp:650-772)."""
+        from barretenberg_tpu.plonk import preprocess
+        from tests.test_plonk import build_fixture_prover
+
+        prover = build_fixture_prover(16)
+        prover.mesh = mesh
+        verifier = preprocess(prover)
+        proof = prover.construct_proof()
+        assert verifier.verify_proof(proof)
+
     def test_with_infinity_and_zero(self, mesh):
         n = 64
         rng = np.random.default_rng(14)

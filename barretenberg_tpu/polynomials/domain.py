@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,17 +35,14 @@ class EvaluationDomain:
     # ------------------------------------------------------------------
     @staticmethod
     def _power_table(base_value: int, n: int) -> jnp.ndarray:
-        """(18, n) internal-Montgomery table of base^k for k < n, built by
-        log-doubling on device (n-1 multiplies total, log n kernel calls)."""
-        table = fr.encode([1])
-        k = 1
-        while k < n:
-            step = min(k, n - k)
-            factor = pow(base_value, k, fr.p)
-            ext = fr.mul_by_constant(table[:, :step], factor)
-            table = jnp.concatenate([table, ext], axis=1)
-            k += step
-        return table
+        """(18, n) internal-Montgomery table of base^k for k < n, as ONE
+        jitted associative scan (log-depth; compiled once per n and
+        persisted - the previous log-doubling loop paid ~20 distinct eager
+        op-compile rounds through the remote TPU tunnel, minutes per
+        process)."""
+        if n == 1:
+            return fr.encode([1])
+        return _power_table_jit(fr.encode([base_value]), n)
 
     @functools.cached_property
     def twiddles(self) -> jnp.ndarray:
@@ -75,13 +73,11 @@ class EvaluationDomain:
 
     @functools.cached_property
     def _root_vector(self) -> jnp.ndarray:
-        t = self.twiddles
-        return jnp.concatenate([t, fr.neg(t)], axis=1)
+        return self._power_table(self.root, self.size)
 
     @functools.cached_property
     def _inverse_root_vector(self) -> jnp.ndarray:
-        t = self.inverse_twiddles
-        return jnp.concatenate([t, fr.neg(t)], axis=1)
+        return self._power_table(self.root_inverse, self.size)
 
     def root_vector(self) -> jnp.ndarray:
         """(18, n) table of omega^k for k < n = [twiddles, -twiddles]."""
@@ -109,6 +105,15 @@ class EvaluationDomain:
     def coset_root_vector(self) -> jnp.ndarray:
         """(18, n) table of g * omega^k (the coset evaluation points)."""
         return fr.mul_by_constant(self.root_vector(), self.generator)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _power_table_jit(base_arr: jnp.ndarray, n: int) -> jnp.ndarray:
+    one = fr.full((1,), fr.one)
+    xs = jnp.concatenate(
+        [one, jnp.broadcast_to(base_arr, (18, n - 1))], axis=1
+    )
+    return jax.lax.associative_scan(fr.mont_mul, xs, axis=1)
 
 
 @functools.lru_cache(maxsize=None)

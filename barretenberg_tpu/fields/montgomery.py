@@ -132,60 +132,61 @@ class Field:
     # Carry machinery
     # ------------------------------------------------------------------
     @staticmethod
-    def _ripple(cols, out_len: int):
-        """Exact sequential carry propagation. cols: (K, *b) relaxed columns.
-        Returns (out_len, *b) normalized 15-bit limbs. Assumes the value fits.
+    def _carry_scan(g, p):
+        """Kogge-Stone prefix of the carry/borrow composition
+        (G, P) o (g, p) = (g | (p & G), p & P) over the limb axis (axis 0).
+        Returns the INCLUSIVE carries-out per position, as uint32 in {0,1}.
+        Statically unrolled (log2(18) -> 5 levels of boolean ops), so it
+        fuses on TPU and stays tiny in the jitted graph - unlike a
+        sequential 18-step chain (big graphs) or a lax.scan (18 serial
+        micro-kernels per field op at runtime)."""
+        k = g.shape[0]
+        d = 1
+        while d < k:
+            g_prev = jnp.concatenate([jnp.zeros_like(g[:d]), g[:-d]], axis=0)
+            p_prev = jnp.concatenate([jnp.zeros_like(p[:d]), p[:-d]], axis=0)
+            g = g | (p & g_prev)
+            p = p & p_prev
+            d <<= 1
+        return g
 
-        Dual-mode: under a trace the chain is a lax.scan over the limb axis
-        (18 unrolled steps per field op made jitted graphs ~7x bigger, which
-        dominated XLA compile time); eagerly it is an unrolled Python loop
-        (eager scans execute step-by-step and are ~100x slower to dispatch).
-        """
+    @classmethod
+    def _ripple(cls, cols, out_len: int):
+        """Exact carry propagation. cols: (K, *b) relaxed columns (< 2^32).
+        Returns (out_len, *b) normalized 15-bit limbs; value beyond out_len
+        limbs is dropped (callers guarantee it fits). Three local
+        carry-save passes squeeze limbs to <= 2^15, then one log-depth
+        carry-lookahead resolves the remaining binary carries."""
         k = cols.shape[0]
-        if not isinstance(cols, jax.core.Tracer):
-            carry = jnp.zeros_like(cols[0])
-            outs = []
-            for i in range(out_len):
-                v = (cols[i] if i < k else jnp.zeros_like(carry)) + carry
-                outs.append(v & LIMB_MASK)
-                carry = v >> LIMB_BITS
-            return jnp.stack(outs)
         if k < out_len:
             cols = jnp.concatenate(
                 [cols, jnp.zeros((out_len - k, *cols.shape[1:]), cols.dtype)]
             )
         elif k > out_len:
             cols = cols[:out_len]
-
-        def step(carry, c):
-            v = c + carry
-            return v >> LIMB_BITS, v & LIMB_MASK
-
-        _, outs = jax.lax.scan(step, jnp.zeros_like(cols[0]), cols)
-        return outs
+        x = cols
+        for _ in range(3):  # 2^32 -> 2^17 -> 2^15+e -> <= 2^15
+            hi = x >> LIMB_BITS
+            x = (x & LIMB_MASK) + jnp.concatenate(
+                [jnp.zeros_like(hi[:1]), hi[:-1]], axis=0
+            )
+        g = x >> LIMB_BITS  # 1 iff limb == 2^15
+        p = (x == LIMB_MASK).astype(jnp.uint32)
+        carries = cls._carry_scan(g, p)
+        cin = jnp.concatenate([jnp.zeros_like(carries[:1]), carries[:-1]], axis=0)
+        return (x + cin) & LIMB_MASK
 
     def _cond_sub_p(self, a):
-        """a (normalized, < 2p) -> a mod p canonical."""
-        if not isinstance(a, jax.core.Tracer):
-            p = self._p_limbs
-            borrow = jnp.zeros_like(a[0])
-            outs = []
-            for i in range(L):
-                v = a[i] + _u32(LIMB_MASK + 1 - int(p[i])) - borrow
-                outs.append(v & LIMB_MASK)
-                borrow = _u32(1) - (v >> LIMB_BITS)
-            d = jnp.stack(outs)
-            ge_p = borrow == 0
-            return jnp.where(ge_p[None], d, a)
+        """a (normalized, < 2p) -> a mod p canonical, via borrow-lookahead
+        subtraction (branchless; the cmov of field_impl_asm.tcc:226)."""
         pl = jnp.asarray(self._p_limbs).astype(jnp.uint32)
-
-        def step(borrow, xs):
-            ai, pi = xs
-            v = ai + (_u32(LIMB_MASK + 1) - pi) - borrow
-            return _u32(1) - (v >> LIMB_BITS), v & LIMB_MASK
-
-        borrow, d = jax.lax.scan(step, jnp.zeros_like(a[0]), (a, pl))
-        ge_p = borrow == 0  # no final borrow => a >= p
+        pl = pl.reshape((L,) + (1,) * (a.ndim - 1))
+        g = (a < pl).astype(jnp.uint32)  # borrow generated
+        pr = (a == pl).astype(jnp.uint32)  # borrow propagated
+        borrows = self._carry_scan(g, pr)
+        bin_ = jnp.concatenate([jnp.zeros_like(borrows[:1]), borrows[:-1]], axis=0)
+        d = (a + _u32(LIMB_MASK + 1) - pl - bin_) & LIMB_MASK
+        ge_p = borrows[-1] == 0  # no final borrow => a >= p
         return jnp.where(ge_p[None], d, a)
 
     # ------------------------------------------------------------------
@@ -199,28 +200,16 @@ class Field:
         s = self._ripple(a + b, L)
         return self._cond_sub_p(s)
 
-    @staticmethod
-    def _borrow_sub(a, b):
-        """Limb-wise a - b with sequential borrow (scan under trace, unrolled
-        eagerly - see _ripple). Returns (difference limbs, final borrow)."""
-        if not isinstance(a, jax.core.Tracer) and not isinstance(
-            b, jax.core.Tracer
-        ):
-            borrow = jnp.zeros_like(a[0])
-            outs = []
-            for i in range(L):
-                v = a[i] + _u32(LIMB_MASK + 1) - b[i] - borrow
-                outs.append(v & LIMB_MASK)
-                borrow = _u32(1) - (v >> LIMB_BITS)
-            return jnp.stack(outs), borrow
-
-        def step(borrow, xs):
-            ai, bi = xs
-            v = ai + _u32(LIMB_MASK + 1) - bi - borrow
-            return _u32(1) - (v >> LIMB_BITS), v & LIMB_MASK
-
-        borrow, d = jax.lax.scan(step, jnp.zeros_like(a[0]), (a, b))
-        return d, borrow
+    @classmethod
+    def _borrow_sub(cls, a, b):
+        """Limb-wise a - b with log-depth borrow lookahead.
+        Returns (difference limbs, final borrow flag array in {0,1})."""
+        g = (a < b).astype(jnp.uint32)
+        pr = (a == b).astype(jnp.uint32)
+        borrows = cls._carry_scan(g, pr)
+        bin_ = jnp.concatenate([jnp.zeros_like(borrows[:1]), borrows[:-1]], axis=0)
+        d = (a + _u32(LIMB_MASK + 1) - b - bin_) & LIMB_MASK
+        return d, borrows[-1]
 
     def sub(self, a, b):
         if self._pallas_ok(a) and b.shape == a.shape:
@@ -312,21 +301,33 @@ class Field:
         u = self._wide_product_cols(m, self.full(a.shape[1:], self.modulus_limbs))
         s = jnp.concatenate([u, jnp.zeros_like(u[:1])], axis=0) + t  # (37,)
         # Exact division by 2^270: low 18 normalized digits are zero, so only
-        # the carry out of column 17 survives.
-        if not isinstance(s, jax.core.Tracer):
-            carry = jnp.zeros_like(s[0])
-            for i in range(L):
-                carry = (s[i] + carry) >> LIMB_BITS
-        else:
-
-            def carry_step(carry, c):
-                return (c + carry) >> LIMB_BITS, None
-
-            carry, _ = jax.lax.scan(carry_step, jnp.zeros_like(s[0]), s[:L])
+        # the (multi-bit) carry out of column 17 survives - normalize the low
+        # columns to 19 digits and take digit 18 plus its lookahead carries.
+        lo_ext = self._ripple_with_carry(s[:L])
         hi = s[L:]  # (19,) columns
-        hi = hi.at[0].add(carry)
+        hi = hi.at[0].add(lo_ext)
         r = self._ripple(hi, L)
         return self._cond_sub_p(r)
+
+    @classmethod
+    def _ripple_with_carry(cls, cols):
+        """value(cols) >> (15 * len(cols)): the carry word out of the top of
+        an L-column group (multi-bit; exact). Two spill columns make the
+        local passes lossless for any column bound < 2^32."""
+        k = cols.shape[0]
+        zeros = jnp.zeros_like(cols[:1])
+        x = jnp.concatenate([cols, zeros, zeros], axis=0)
+        for _ in range(3):
+            hi = x >> LIMB_BITS
+            x = (x & LIMB_MASK) + jnp.concatenate(
+                [jnp.zeros_like(hi[:1]), hi[:-1]], axis=0
+            )
+        g = x >> LIMB_BITS
+        p = (x == LIMB_MASK).astype(jnp.uint32)
+        carries = cls._carry_scan(g, p)
+        cin = jnp.concatenate([jnp.zeros_like(carries[:1]), carries[:-1]], axis=0)
+        digits = (x + cin) & LIMB_MASK
+        return digits[k] + (digits[k + 1] << LIMB_BITS)
 
     def mul(self, a, b):
         return self.mont_mul(a, b)

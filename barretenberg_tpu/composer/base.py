@@ -24,6 +24,12 @@ LEFT = 0
 RIGHT = 1 << 30
 OUTPUT = 1 << 31
 
+# Gate flags (composer_base.hpp:56-70): slots the merge optimizer must not
+# move (multiplicative operands of mul/bool/poly gates)
+FIXED_LEFT_WIRE = 0x200
+FIXED_RIGHT_WIRE = 0x400
+FIXED_OUTPUT_WIRE = 0x800
+
 
 @dataclasses.dataclass
 class AddTriple:
@@ -66,6 +72,7 @@ class ComposerBase:
         self.w_o: list[int] = []
         self.variables: list[int] = []
         self.wire_epicycles: list[list[tuple[int, int]]] = []  # (gate, tag)
+        self.gate_flags: list[int] = []
 
     def get_num_gates(self) -> int:
         return self.n
@@ -91,8 +98,9 @@ class ComposerBase:
                 self.w_o[gate] = a_idx
         self.wire_epicycles[b_idx] = []
 
-    def _record_wires(self, a: int, b: int, c: int) -> None:
+    def _record_wires(self, a: int, b: int, c: int, flags: int = 0) -> None:
         g = self.n
+        self.gate_flags.append(flags)
         self.w_l.append(a)
         self.w_r.append(b)
         self.w_o.append(c)

@@ -10,7 +10,14 @@ from __future__ import annotations
 from ..fields import fr
 from ..plonk.prover import Prover
 from ..plonk.widgets import ProverArithmeticWidget
-from .base import AddTriple, ComposerBase, MulTriple, PolyTriple
+from .base import (
+    FIXED_LEFT_WIRE,
+    FIXED_RIGHT_WIRE,
+    AddTriple,
+    ComposerBase,
+    MulTriple,
+    PolyTriple,
+)
 
 P = fr.p
 
@@ -40,7 +47,7 @@ class StandardComposer(ComposerBase):
         self.q_r.append(0)
         self.q_o.append(t.c_scaling % P)
         self.q_c.append(t.const_scaling % P)
-        self._record_wires(t.a, t.b, t.c)
+        self._record_wires(t.a, t.b, t.c, flags=FIXED_LEFT_WIRE | FIXED_RIGHT_WIRE)
 
     def create_bool_gate(self, variable_index: int) -> None:
         """w^2 - w = 0 as a mul gate (standard_composer.cpp:63-86)."""
@@ -49,7 +56,12 @@ class StandardComposer(ComposerBase):
         self.q_r.append(0)
         self.q_o.append(P - 1)
         self.q_c.append(0)
-        self._record_wires(variable_index, variable_index, variable_index)
+        self._record_wires(
+            variable_index,
+            variable_index,
+            variable_index,
+            flags=FIXED_LEFT_WIRE | FIXED_RIGHT_WIRE,
+        )
 
     def create_poly_gate(self, t: PolyTriple) -> None:
         self.q_m.append(t.q_m % P)
@@ -57,7 +69,7 @@ class StandardComposer(ComposerBase):
         self.q_r.append(t.q_r % P)
         self.q_o.append(t.q_o % P)
         self.q_c.append(t.q_c % P)
-        self._record_wires(t.a, t.b, t.c)
+        self._record_wires(t.a, t.b, t.c, flags=FIXED_LEFT_WIRE | FIXED_RIGHT_WIRE)
 
     def create_dummy_gates(self) -> None:
         """Two fixed gates keeping the selector/permutation polynomials
@@ -116,6 +128,7 @@ class StandardComposer(ComposerBase):
             self.q_r.append(0)
             self.q_o.append(0)
             self.q_c.append(0)
+            self.gate_flags.append(0)
             self.w_l.append(self.zero_idx)
             self.w_r.append(self.zero_idx)
             self.w_o.append(self.zero_idx)

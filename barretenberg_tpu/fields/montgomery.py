@@ -472,12 +472,14 @@ class Field:
         """Montgomery batch inversion along a batch axis (reference
         fields/field.hpp:503-522). Zero entries map to garbage (as reference);
         callers mask them out."""
+        from ..utils.scans import hillis_scan
+
         mul = self.mont_mul
-        prefix = jax.lax.associative_scan(mul, a, axis=axis)
+        prefix = hillis_scan(mul, a, axis=axis)
         n = a.shape[axis]
         total = jax.lax.index_in_dim(prefix, n - 1, axis=axis, keepdims=False)
         total_inv = self.invert(total)
-        suffix = jax.lax.associative_scan(mul, a, axis=axis, reverse=True)
+        suffix = hillis_scan(mul, a, axis=axis, reverse=True)
         # inv_i = prefix_{i-1} * suffix_{i+1} * total_inv
         ones = jnp.broadcast_to(
             jnp.expand_dims(

@@ -119,11 +119,13 @@ class QuadraticField:
         """Montgomery trick along a batch axis with fq2 products."""
         import jax
 
-        prefix = jax.lax.associative_scan(self.mul, a, axis=axis)
+        from ..utils.scans import hillis_scan
+
+        prefix = hillis_scan(self.mul, a, axis=axis)
         n = a.shape[axis]
         total = jax.lax.index_in_dim(prefix, n - 1, axis=axis, keepdims=False)
         total_inv = self.invert(total)
-        suffix = jax.lax.associative_scan(self.mul, a, axis=axis, reverse=True)
+        suffix = hillis_scan(self.mul, a, axis=axis, reverse=True)
         ones_shape = list(a.shape)
         ones_shape[axis] = 1
         one = self.full(tuple(ones_shape[2:]), self.one)

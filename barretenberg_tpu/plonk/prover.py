@@ -93,8 +93,10 @@ def _z_evals_jit(w_l, w_r, w_o, s1, s2, s3, beta, gamma, bk1, bk2, small):
         mul(add(add(mul(s1, beta), gamma), w_l), add(add(mul(s2, beta), gamma), w_r)),
         add(add(mul(s3, beta), gamma), w_o),
     )
-    pnum = jax.lax.associative_scan(mul, num, axis=1)
-    pden = jax.lax.associative_scan(mul, den, axis=1)
+    from ..utils.scans import hillis_scan
+
+    pnum = hillis_scan(mul, num, axis=1)
+    pden = hillis_scan(mul, den, axis=1)
     pden_inv = fr.batch_invert(pden)
     z_tail = mul(pnum, pden_inv)[:, : w_l.shape[1] - 1]
     one = fr.full((1,), fr.one)
@@ -194,10 +196,12 @@ def _quotient_finalize_jit(quotient_mid, quotient_large, small, mid, large):
 @jax.jit
 def _powers_jit(z_arr, table_shape_like):
     """(18, n) table of z^k from a (18, 1) z array (associative scan)."""
+    from ..utils.scans import hillis_scan
+
     n = table_shape_like.shape[1]
     one = fr.full((1,), fr.one)
     zs = jnp.concatenate([one, jnp.broadcast_to(z_arr, (18, n - 1))], axis=1)
-    return jax.lax.associative_scan(fr.mont_mul, zs, axis=1)
+    return hillis_scan(fr.mont_mul, zs, axis=1)
 
 
 @jax.jit
@@ -234,16 +238,11 @@ def _kate_jit(coeffs, f_eval, w_arr, neg_w_arr):
     b0 = fr.mont_mul(fr.sub(coeffs[:, :1], f_eval), w_arr)
     b = fr.mont_mul(coeffs, w_arr)
     b = jnp.concatenate([b0, b[:, 1:]], axis=1)
+    from ..utils.scans import affine_scan
+
     one = fr.full((1,), fr.one)
     m = jnp.concatenate([one, jnp.broadcast_to(neg_w_arr, (18, n - 1))], axis=1)
-
-    def combine(fst, snd):
-        m1, b1 = fst
-        m2, b2 = snd
-        return fr.mont_mul(m2, m1), fr.add(fr.mont_mul(m2, b1), b2)
-
-    _, d = jax.lax.associative_scan(combine, (m, b), axis=1)
-    return d
+    return affine_scan(fr.mont_mul, fr.add, m, b, axis=1)
 
 
 class Prover:

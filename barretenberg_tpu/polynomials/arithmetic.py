@@ -120,13 +120,9 @@ def compute_kate_opening_coefficients(
     b = jnp.concatenate([fr.encode([b0]), b[:, 1:]], axis=1)
     m = fr.full((n,), fr.const((-w) % fr.p))
     m = jnp.concatenate([fr.encode([1]), m[:, 1:]], axis=1)
+    from ..utils.scans import affine_scan
 
-    def combine(fst, snd):
-        m1, b1 = fst
-        m2, b2 = snd
-        return fr.mont_mul(m2, m1), fr.add(fr.mont_mul(m2, b1), b2)
-
-    _, d = jax.lax.associative_scan(combine, (m, b), axis=1)
+    d = affine_scan(fr.mont_mul, fr.add, m, b, axis=1)
     return d, f
 
 

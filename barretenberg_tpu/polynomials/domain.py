@@ -87,6 +87,45 @@ class EvaluationDomain:
         """(18, n) table of omega^-k for k < n."""
         return self._inverse_root_vector
 
+    # ------------------------------------------------------------------
+    # Two-level power lookup: w^e for arbitrary e < n from two O(sqrt n)
+    # tables (w^(k) for k < K and w^(K*k) for k < n/K). Replaces
+    # replicating the full (18, n) root vector on every device in the
+    # mesh FFT (288MB at 2^22) with ~2*sqrt(n) rows + one extra mul.
+    # ------------------------------------------------------------------
+    @functools.cached_property
+    def _two_level_k(self) -> int:
+        return 1 << ((self.log2_size + 1) // 2)
+
+    @functools.cached_property
+    def two_level_tables(self):
+        k = self._two_level_k
+        return (
+            self._power_table(self.root, k),
+            self._power_table(pow(self.root, k, fr.p), max(1, self.size // k)),
+        )
+
+    @functools.cached_property
+    def two_level_tables_inverse(self):
+        k = self._two_level_k
+        return (
+            self._power_table(self.root_inverse, k),
+            self._power_table(
+                pow(self.root_inverse, k, fr.p), max(1, self.size // k)
+            ),
+        )
+
+    def power_lookup(self, exponents: jnp.ndarray, inverse: bool = False):
+        """w^(+-e) for an int array of exponents e < n: two gathers + one
+        Montgomery mul against the sqrt-size tables."""
+        lo, hi = self.two_level_tables_inverse if inverse else self.two_level_tables
+        k = self._two_level_k
+        e = exponents.astype(jnp.int32)
+        return fr.mont_mul(
+            jnp.take(hi, e >> (k.bit_length() - 1), axis=1),
+            jnp.take(lo, e & (k - 1), axis=1),
+        )
+
     def warm_tables(self, inverse: bool = False, coset: bool = False) -> None:
         """Materialize the cached device tables eagerly. Must be called
         before using this domain inside a jit/shard_map trace, otherwise the
@@ -109,11 +148,13 @@ class EvaluationDomain:
 
 @functools.partial(jax.jit, static_argnames=("n",))
 def _power_table_jit(base_arr: jnp.ndarray, n: int) -> jnp.ndarray:
+    from ..utils.scans import hillis_scan
+
     one = fr.full((1,), fr.one)
     xs = jnp.concatenate(
         [one, jnp.broadcast_to(base_arr, (18, n - 1))], axis=1
     )
-    return jax.lax.associative_scan(fr.mont_mul, xs, axis=1)
+    return hillis_scan(fr.mont_mul, xs, axis=1)
 
 
 @functools.lru_cache(maxsize=None)

@@ -29,31 +29,50 @@ from .domain import EvaluationDomain
 
 
 def _fft_core(coeffs: jnp.ndarray, domain: EvaluationDomain, inverse: bool):
+    """DIT radix-2 core as ONE lax.fori_loop over the log2(n) stages.
+
+    The loop body is stage-generic: for position j at stage s (butterfly
+    half-width h = 2^s) the partner values x[j+h] / x[j-h] are brought in
+    with lane rotations, the twiddle w^((j mod h) * n/2^(s+1)) is one gather
+    from the domain's single power table, and lo/hi results merge with a
+    parity select. This keeps exactly ONE Montgomery-mul instance in the
+    compiled graph regardless of n - the previous Python-unrolled stages
+    compiled 20 separate mul graphs at n=2^20 (52s XLA compile on TPU,
+    BENCH_DETAILS r2); structurally this is the same butterfly schedule as
+    the reference's flattened loop (polynomial_arithmetic.cpp:180-260).
+    """
     n = domain.size
     assert coeffs.shape == (coeffs.shape[0], n)
     x = jnp.take(coeffs, domain.bit_reverse_indices, axis=1)
+    if n == 1:
+        return x
     table = domain.inverse_twiddles if inverse else domain.twiddles
-    for s in range(domain.log2_size):
-        m = 2 << s
-        half = m >> 1
-        tw = table[:, :: max(1, n // m)][:, :half]
-        u = x.reshape(18, n // m, m)[:, :, :half].reshape(18, n // 2)
-        v = x.reshape(18, n // m, m)[:, :, half:].reshape(18, n // 2)
-        if s == 0:
-            t = v  # twiddle is 1 for the first stage
-        else:
-            tw_full = jnp.tile(tw, (1, n // m))
-            t = fr.mont_mul(v, tw_full)
-        lo = fr.add(u, t)
-        hi = fr.sub(u, t)
-        x = jnp.concatenate(
-            [
-                lo.reshape(18, n // m, half),
-                hi.reshape(18, n // m, half),
-            ],
-            axis=2,
-        ).reshape(18, n)
-    return x
+    return fft_stages(x, table, domain.log2_size)
+
+
+def fft_stages(x: jnp.ndarray, table: jnp.ndarray, log2n: int) -> jnp.ndarray:
+    """The stage loop, batch-generic: x (18, *batch, n) already in
+    bit-reversed order; table (18, n/2) twiddle powers. Shared by the
+    single-chip core and the mesh FFT's local transforms."""
+    n = x.shape[-1]
+    j = jnp.arange(n, dtype=jnp.int32)
+    lead = (1,) * (x.ndim - 2)
+
+    def stage(s, x):
+        half = jnp.int32(1) << s
+        within = j & (half - 1)
+        exp = within << (log2n - 1 - s)  # (j mod h) * (n >> (s+1)) < n/2
+        tw = jnp.take(table, exp, axis=1).reshape((x.shape[0],) + lead + (n,))
+        x_up = jnp.roll(x, -half, axis=-1)  # x[j + half] at position j
+        x_dn = jnp.roll(x, half, axis=-1)  # x[j - half] at position j
+        is_hi = ((j >> s) & 1) == 1
+        # one mul serves both halves: w*x[j+h] at lo lanes, w*x[j] at hi
+        t = fr.mont_mul(jnp.where(is_hi, x, x_up), tw)
+        lo = fr.add(x, t)
+        hi = fr.sub(x_dn, t)
+        return jnp.where(is_hi, hi, lo)
+
+    return jax.lax.fori_loop(0, log2n, stage, x)
 
 
 @functools.partial(

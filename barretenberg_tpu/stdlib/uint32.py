@@ -163,6 +163,38 @@ class Uint32:
 
     __rmul__ = __mul__
 
+    def _divmod(self, other) -> tuple["Uint32", "Uint32"]:
+        """Witness-division with range-checked remainder (reference:
+        waffle/stdlib/uint32/uint32.tcc:743-830 operator/): witness the
+        quotient q, range-constrain it to 32 bits, form r = a - b*q with
+        in-circuit uint32 arithmetic, then constrain r < b. A zero divisor
+        makes the r < b constraint unsatisfiable (matching the reference,
+        where no satisfying witness exists)."""
+        other = self._coerce(other)
+        ctx = self.context or other.context
+        if self.is_constant() and other.is_constant():
+            a_val, b_val = self.get_value(), other.get_value()
+            return (
+                Uint32(ctx, value=a_val // b_val),
+                Uint32(ctx, value=a_val % b_val),
+            )
+        a = self.normalize()
+        b = other.normalize()
+        a_val, b_val = a.get_value(), b.get_value()
+        q_val = a_val // b_val if b_val else 0  # witness only; 0-div is
+        q = Uint32.from_witness(witness_t(ctx, q_val))  # then unsatisfiable
+        r = (a - b * q).normalize()
+        lt = r._lt_bit(b)
+        # pin the comparison to TRUE (reference: assert_equal on the wires)
+        field_t.from_bool(lt).assert_equal(field_t(ctx, value=1))
+        return q, r
+
+    def __floordiv__(self, other) -> "Uint32":
+        return self._divmod(other)[0]
+
+    def __mod__(self, other) -> "Uint32":
+        return self._divmod(other)[1]
+
     # -- bitwise ---------------------------------------------------------------
     def _bitwise(self, other, op) -> "Uint32":
         other = self._coerce(other)

@@ -83,6 +83,7 @@ class TestG2Device:
         want = [hc.g2_add(p, p) for p in host_pts]
         assert g2_jacobian_to_host(same) == want
 
+    @pytest.mark.slow  # 64-step G2 double-and-add scan: minutes of cold XLA
     def test_scalar_mul_vs_host(self):
         rng = np.random.default_rng(5)
         pts, host_pts = random_g2_points(1, rng)

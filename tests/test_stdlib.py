@@ -116,6 +116,41 @@ class TestUint32:
         ctx.create_dummy_gates()
         assert ctx.check_circuit()
 
+    def test_divmod_vs_native(self):
+        """Witness-division + range-checked remainder (reference
+        uint32.tcc:743-830 operator/)."""
+        ctx = StandardComposer()
+        cases = [
+            (0xDEADBEEF, 0x1234),
+            (0x12345678, 0xDEADBEEF),  # quotient 0
+            (0xFFFFFFFF, 1),
+            (0xFFFFFFFF, 0xFFFFFFFF),
+            (7, 3),
+        ]
+        for a, b in cases:
+            ua = Uint32.from_witness(witness_t(ctx, a))
+            ub = Uint32.from_witness(witness_t(ctx, b))
+            assert (ua // ub).get_value() == a // b, (a, b)
+            assert (ua % ub).get_value() == a % b, (a, b)
+        # constant path
+        assert (Uint32(ctx, value=100) // Uint32(ctx, value=7)).get_value() == 14
+        assert (Uint32(ctx, value=100) % Uint32(ctx, value=7)).get_value() == 2
+        ctx.create_dummy_gates()
+        assert ctx.check_circuit()
+
+    def test_divmod_bad_quotient_witness_fails(self):
+        """Tampering the quotient witness must break the circuit (the
+        r < b range constraint)."""
+        ctx = StandardComposer()
+        ua = Uint32.from_witness(witness_t(ctx, 1000))
+        ub = Uint32.from_witness(witness_t(ctx, 7))
+        q = ua // ub
+        assert ctx.check_circuit()
+        # bump the quotient wire: remainder goes negative -> r < b fails
+        idx = q._accumulator().witness_index
+        ctx.variables[idx] = ctx.variables[idx] + 1
+        assert not ctx.check_circuit()
+
     def test_bitwise_and_shifts_vs_native(self):
         ctx = StandardComposer()
         a, b = 0xCAFEF00D, 0x31415926

@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""Cross-implementation bit-exactness check (VERDICT r2 item 5).
+
+Builds the reference C++ prover (portable DISABLE_SHENANIGANS int128 path,
+no OpenMP) from /root/reference, feeds BOTH provers the same generated
+transcript.dat and the same deterministic splitmix64 fixture circuit
+(fixture.cpp here == _build_twin_prover below), and compares the full
+800-byte proof serialization byte for byte.
+
+Run:  python tools/crosscheck/run_crosscheck.py
+Exit 0 and prints "PROOFS IDENTICAL" on success.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(os.path.dirname(HERE))
+REF = os.environ.get("BARRETENBERG_REF", "/root/reference")
+N = 16
+
+sys.path.insert(0, REPO)
+
+MASK64 = (1 << 64) - 1
+
+
+def _splitmix_stream(state: int):
+    while True:
+        state = (state + 0x9E3779B97F4A7C15) & MASK64
+        z = state
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & MASK64
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & MASK64
+        yield z ^ (z >> 31)
+
+
+def _build_twin_prover(srs):
+    """The Python twin of fixture.cpp's circuit."""
+    import numpy as np
+
+    from barretenberg_tpu.fields import fr
+    from barretenberg_tpu.plonk import Prover
+    from barretenberg_tpu.plonk.widgets import ProverArithmeticWidget
+
+    P = fr.p
+    gen = _splitmix_stream(0x5EED5EED5EED5EED)
+
+    def det():
+        w = [next(gen) for _ in range(4)]
+        w[3] &= 0x1FFFFFFFFFFFFFFF
+        return w[0] | (w[1] << 64) | (w[2] << 128) | (w[3] << 192)
+
+    n = N
+    w_l = [0] * n
+    w_r = [0] * n
+    w_o = [0] * n
+    q_m = [0] * n
+    q_l = [0] * n
+    q_r = [0] * n
+    q_o = [0] * n
+    q_c = [0] * n
+    for i in range(n // 4):
+        w_l[2 * i] = det()
+        w_r[2 * i] = det()
+        w_o[2 * i] = (w_l[2 * i] * w_r[2 * i] + w_l[2 * i] + w_r[2 * i] + 1) % P
+        q_l[2 * i] = q_r[2 * i] = q_m[2 * i] = q_c[2 * i] = 1
+        q_o[2 * i] = P - 1
+        w_l[2 * i + 1] = det()
+        w_r[2 * i + 1] = det()
+        w_o[2 * i + 1] = det()
+        q_c[2 * i + 1] = (-(w_l[2 * i + 1] + w_r[2 * i + 1] + w_o[2 * i + 1])) % P
+        q_l[2 * i + 1] = q_r[2 * i + 1] = q_o[2 * i + 1] = 1
+
+    shift = n // 2
+    for arr in (w_l, w_r, w_o, q_m, q_l, q_r, q_o, q_c):
+        arr[shift:] = arr[:shift]
+
+    s1 = np.zeros(n, dtype=np.uint32)
+    s2 = np.zeros(n, dtype=np.uint32)
+    s3 = np.zeros(n, dtype=np.uint32)
+    for i in range(shift):
+        s1[shift + i] = i
+        s2[shift + i] = i + (1 << 30)
+        s3[shift + i] = i + (1 << 31)
+        s1[i] = i + shift
+        s2[i] = i + shift + (1 << 30)
+        s3[i] = i + shift + (1 << 31)
+    for j in (shift - 1, n - 1):
+        s1[j] = j
+        s2[j] = j + (1 << 30)
+        s3[j] = j + (1 << 31)
+        w_l[j] = w_r[j] = w_o[j] = 0
+        q_c[j] = 0
+    q_l[n - 1] = q_r[n - 1] = q_o[n - 1] = q_m[n - 1] = 0
+
+    prover = Prover(n, srs)
+    prover.w_l = fr.encode(w_l)
+    prover.w_r = fr.encode(w_r)
+    prover.w_o = fr.encode(w_o)
+    prover.sigma_1_mapping = s1
+    prover.sigma_2_mapping = s2
+    prover.sigma_3_mapping = s3
+    prover.widgets.append(
+        ProverArithmeticWidget(
+            fr.encode(q_m), fr.encode(q_l), fr.encode(q_r),
+            fr.encode(q_o), fr.encode(q_c),
+        )
+    )
+    return prover
+
+
+REF_SOURCES = [
+    "curves/bn254/scalar_multiplication.cpp",
+    "curves/bn254/pairing.cpp",
+    "polynomials/evaluation_domain.cpp",
+    "polynomials/polynomial_arithmetic.cpp",
+    "polynomials/polynomial.cpp",
+    "waffle/reference_string/reference_string.cpp",
+    "waffle/proof_system/widgets/arithmetic_widget.cpp",
+    "waffle/proof_system/prover/prover.cpp",
+]
+REF_C_SOURCES = ["keccak/keccakf1600.c", "keccak/keccak.c"]
+
+
+def build_reference_fixture(transcript_path: str) -> str:
+    out = os.path.join(HERE, "fixture.bin")
+    objs = []
+    base = os.path.join(REF, "src/barretenberg")
+    common = [
+        "-O2",
+        "-DDISABLE_SHENANIGANS=1",
+        "-DNO_MULTITHREADING=1",
+        f'-DBARRETENBERG_SRS_PATH="{transcript_path}"',
+        "-I" + os.path.join(REF, "src"),
+        "-w",
+    ]
+    for src in REF_C_SOURCES:
+        obj = os.path.join(HERE, os.path.basename(src) + ".o")
+        subprocess.run(
+            ["gcc", "-c", os.path.join(base, src), "-o", obj, *common],
+            check=True,
+        )
+        objs.append(obj)
+    for src in REF_SOURCES:
+        obj = os.path.join(HERE, os.path.basename(src) + ".o")
+        subprocess.run(
+            ["g++", "-std=c++17", "-c", os.path.join(base, src), "-o", obj, *common],
+            check=True,
+        )
+        objs.append(obj)
+    subprocess.run(
+        [
+            "g++", "-std=c++17",
+            os.path.join(HERE, "fixture.cpp"), *objs, "-o", out, *common,
+        ],
+        check=True,
+    )
+    return out
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from barretenberg_tpu.srs import ReferenceString, test_srs
+
+    srs = test_srs(N)
+    transcript = os.path.join(HERE, "transcript.dat")
+    ReferenceString.save(transcript, srs.monomials_host()[1:], srs.g2_x)
+
+    print("[crosscheck] building reference C++ prover (int128 path)...")
+    binary = build_reference_fixture(transcript)
+    ref_hex = subprocess.run(
+        [binary], check=True, capture_output=True, text=True
+    ).stdout.strip()
+
+    print("[crosscheck] running barretenberg_tpu prover on the twin circuit...")
+    prover = _build_twin_prover(srs)
+    ours_hex = prover.construct_proof().serialize().hex()
+
+    if ref_hex == ours_hex:
+        print(f"PROOFS IDENTICAL ({len(ours_hex) // 2} bytes)")
+        return 0
+    print("MISMATCH")
+    print("reference:", ref_hex)
+    print("ours     :", ours_hex)
+    # locate the first differing 32-byte element for debugging
+    for k in range(0, min(len(ref_hex), len(ours_hex)), 64):
+        if ref_hex[k : k + 64] != ours_hex[k : k + 64]:
+            print(f"first differing element #{k // 64}")
+            break
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

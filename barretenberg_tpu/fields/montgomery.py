@@ -193,6 +193,7 @@ class Field:
     # Add / sub / neg
     # ------------------------------------------------------------------
     def add(self, a, b):
+        a, b = self._materialize_broadcast(a, b)
         if self._pallas_ok(a) and b.shape == a.shape:
             from ..kernels import field_kernels
 
@@ -212,11 +213,11 @@ class Field:
         return d, borrows[-1]
 
     def sub(self, a, b):
+        a, b = self._materialize_broadcast(a, b)
         if self._pallas_ok(a) and b.shape == a.shape:
             from ..kernels import field_kernels
 
             return field_kernels.sub(self.params, a, b)
-        b = jnp.broadcast_to(b, a.shape) if b.shape != a.shape else b
         d, borrow = self._borrow_sub(a, b)
         underflow = borrow == 1
         e = self._ripple(d + self.full(a.shape[1:], self.modulus_limbs), L)
@@ -283,6 +284,26 @@ class Field:
             and a.shape[1] >= config.PALLAS_MIN_BATCH
         )
 
+    @staticmethod
+    def _materialize_broadcast(a, b):
+        """Broadcast operands to a common batch shape and MATERIALIZE the
+        expansion behind an optimization barrier.
+
+        XLA:TPU miscompiles the (18, 1) -> (18, n) implicit broadcast when
+        fused into the Montgomery product at n >= 2^14 (observed on v5e:
+        every lane wrong for jit(mont_mul)(a, scalar_arr) at 16384+ while
+        pre-materialized full-shape inputs are correct; fusion-dependent).
+        Challenge scalars enter every prover phase in exactly this shape,
+        so the materialization is forced centrally here."""
+        if a.shape == b.shape:
+            return a, b
+        target = jnp.broadcast_shapes(a.shape, b.shape)
+        if a.shape != target:
+            a = jax.lax.optimization_barrier(jnp.broadcast_to(a, target))
+        if b.shape != target:
+            b = jax.lax.optimization_barrier(jnp.broadcast_to(b, target))
+        return a, b
+
     def mont_mul(self, a, b):
         """Montgomery product a * b * 2^-270 mod p, canonical output.
 
@@ -290,6 +311,7 @@ class Field:
         fields/field_impl_asm.tcc:305): m = T*(-p^-1) mod 2^270, then
         (T + m*p) / 2^270, conditional subtract.
         """
+        a, b = self._materialize_broadcast(a, b)
         if self._pallas_ok(a) and b.shape == a.shape:
             from ..kernels import field_kernels
 
@@ -480,6 +502,12 @@ class Field:
         total = jax.lax.index_in_dim(prefix, n - 1, axis=axis, keepdims=False)
         total_inv = self.invert(total)
         suffix = hillis_scan(mul, a, axis=axis, reverse=True)
+        # optimization_barrier: without it XLA:TPU fuses the two scan loops
+        # with the combine and miscompiles at n >= ~2^14 (observed: every
+        # lane wrong at 16384, correct when intermediates are materialized)
+        prefix, suffix, total_inv = jax.lax.optimization_barrier(
+            (prefix, suffix, total_inv)
+        )
         # inv_i = prefix_{i-1} * suffix_{i+1} * total_inv
         ones = jnp.broadcast_to(
             jnp.expand_dims(

@@ -126,6 +126,11 @@ class QuadraticField:
         total = jax.lax.index_in_dim(prefix, n - 1, axis=axis, keepdims=False)
         total_inv = self.invert(total)
         suffix = hillis_scan(self.mul, a, axis=axis, reverse=True)
+        # see montgomery.batch_invert: barrier against an XLA:TPU fusion
+        # miscompile of the combined scan+combine module at large n
+        prefix, suffix, total_inv = jax.lax.optimization_barrier(
+            (prefix, suffix, total_inv)
+        )
         ones_shape = list(a.shape)
         ones_shape[axis] = 1
         one = self.full(tuple(ones_shape[2:]), self.one)

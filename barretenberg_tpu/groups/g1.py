@@ -82,6 +82,64 @@ def random_points_device(n: int, rng: np.random.Generator) -> AffinePoints:
     return _multi_scalar_gen(bits)
 
 
+_fixed_base_table_cache: AffinePoints | None = None
+
+
+def _fixed_base_table() -> AffinePoints:
+    """(18, 32*256) window table: entry [w*256 + k] = [k * 2^(8w)]G, built
+    once on host (~8k host group adds) and cached as device constants.
+
+    The fixed-base analog of the reference's GLV+wNAF precomputed-table
+    exponentiation (groups/group.hpp:653-760): for a FIXED base the whole
+    table precomputes, so a 254-bit multiply needs 32 gathers + 32 mixed
+    adds and zero doublings."""
+    global _fixed_base_table_cache
+    if _fixed_base_table_cache is not None:
+        return _fixed_base_table_cache
+    pts: list = []
+    base = host_curve.G1_GENERATOR
+    for _w in range(32):
+        cur = None
+        row = [None]
+        for _k in range(255):
+            cur = host_curve.g1_add(cur, base)
+            row.append(cur)
+        pts.extend(row)
+        base = host_curve.g1_add(cur, base)  # 256*2^(8w)*G = 2^(8(w+1))*G
+    _fixed_base_table_cache = host_to_affine_points(pts)
+    return _fixed_base_table_cache
+
+
+@_jax.jit
+def _fixed_base_mul_jit(digits, tx, ty, tinf) -> JacobianPoints:
+    n = digits.shape[1]
+
+    def win(w, acc):
+        idx = w * 256 + digits[w]
+        pts = AffinePoints(
+            jnp.take(tx, idx, axis=1),
+            jnp.take(ty, idx, axis=1),
+            jnp.take(tinf, idx, axis=0),
+        )
+        return g1.mixed_add(acc, pts)
+
+    return _jax.lax.fori_loop(0, 32, win, g1.infinity((n,)))
+
+
+def fixed_base_mul(scalars: list) -> JacobianPoints:
+    """[k_i]G for a list of host-int scalars, via the window table: one
+    fori_loop of 32 gather+mixed_add steps for any batch size (the fast
+    path for SRS generation and any generator exponentiation)."""
+    n = len(scalars)
+    buf = np.frombuffer(
+        b"".join((int(s) % fr.p).to_bytes(32, "little") for s in scalars),
+        dtype=np.uint8,
+    ).reshape(n, 32)
+    digits = jnp.asarray(buf.T.astype(np.int32))  # (32, n) window bytes
+    table = _fixed_base_table()
+    return _fixed_base_mul_jit(digits, table.x, table.y, table.inf)
+
+
 def scalar_mul(p: AffinePoints, scalar: int) -> JacobianPoints:
     """Multiply a batch of affine points by one host-known scalar."""
     scalar = int(scalar) % fr.p

@@ -9,7 +9,7 @@ partial reduction) instead of shared-memory threads.
 """
 
 from .fft import sharded_fft, sharded_ifft, sharded_coset_fft
-from .msm import sharded_msm
+from .msm import sharded_msm, sharded_msm_batched
 from .mesh import default_mesh
 
 __all__ = [
@@ -17,5 +17,6 @@ __all__ = [
     "sharded_ifft",
     "sharded_coset_fft",
     "sharded_msm",
+    "sharded_msm_batched",
     "default_mesh",
 ]

@@ -34,6 +34,70 @@ def _tree_add(points: JacobianPoints, size: int) -> JacobianPoints:
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axis_name"))
+def sharded_msm_batched(
+    scalars_b: jnp.ndarray,
+    points: AffinePoints,
+    mesh,
+    axis_name: str = "shards",
+) -> JacobianPoints:
+    """B MSMs over the same point set, points sharded over the mesh: ONE
+    shard_map call (the mesh analog of batched_scalar_multiplications,
+    scalar_multiplication.cpp:650-772, which the round-2 prover degraded
+    to a Python loop of single sharded MSMs).
+
+    scalars_b: (18, B, N) internal-Montgomery Fr. Returns a replicated
+    (B,)-batch of Jacobian points.
+    """
+    d = mesh.shape[axis_name]
+    _, b, n = scalars_b.shape
+    if n % d:
+        raise ValueError(f"MSM size {n} not divisible by {d} devices")
+
+    def local_fn(s, px, py, pinf):
+        local_n = s.shape[2]
+        flat = s.reshape(18, b * local_n)
+        pts = AffinePoints(
+            jnp.tile(px, (1, b)), jnp.tile(py, (1, b)), jnp.tile(pinf, b)
+        )
+        from ..msm.pippenger import scalar_digits
+
+        bits = scalar_digits(flat, 1)[::-1]
+        per_point = g1.scalar_mul_bits(pts, bits)
+        grouped = JacobianPoints(
+            per_point.x.reshape(18, b, local_n),
+            per_point.y.reshape(18, b, local_n),
+            per_point.z.reshape(18, b, local_n),
+            per_point.inf.reshape(b, local_n),
+        )
+        part = g1.tree_sum(grouped)  # (18, b, 1)
+        gx = jax.lax.all_gather(part.x, axis_name, axis=2, tiled=True)
+        gy = jax.lax.all_gather(part.y, axis_name, axis=2, tiled=True)
+        gz = jax.lax.all_gather(part.z, axis_name, axis=2, tiled=True)
+        ginf = jax.lax.all_gather(part.inf, axis_name, axis=1, tiled=True)
+        total = g1.tree_sum(JacobianPoints(gx, gy, gz, ginf))  # (18, b, 1)
+        return JacobianPoints(
+            total.x[:, :, 0], total.y[:, :, 0], total.z[:, :, 0],
+            total.inf[:, 0],
+        )
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(None, None, axis_name),
+            P(None, axis_name),
+            P(None, axis_name),
+            P(axis_name),
+        ),
+        out_specs=JacobianPoints(
+            P(None, None), P(None, None), P(None, None), P(None)
+        ),
+        check_vma=False,
+    )
+    return fn(scalars_b, points.x, points.y, points.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis_name"))
 def sharded_msm(
     scalars_mont: jnp.ndarray,
     points: AffinePoints,

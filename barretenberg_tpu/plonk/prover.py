@@ -173,6 +173,57 @@ def _quotient_grand_product_jit(
     )
 
 
+# ---------------------------------------------------------------------------
+# Mesh-prover elementwise pieces: the quotient algebra between the sharded
+# Bailey FFT calls (parallel/fft.py). Each is one jitted dispatch over
+# mesh-sharded global arrays; XLA propagates the shardings (GSPMD), so the
+# lane algebra partitions automatically and only the FFTs communicate.
+# ---------------------------------------------------------------------------
+@jax.jit
+def _scale_jit(a, s):
+    return fr.mont_mul(a, s)
+
+
+@jax.jit
+def _perm_factor_pre_jit(sigma_c, wire_c, gamma):
+    s = fr.add(sigma_c, wire_c)
+    return jnp.concatenate([fr.add(s[:, :1], gamma), s[:, 1:]], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("large",))
+def _quotient_combine_jit(f1, f2, f3, z_fft, w_l_fft, w_r_fft, w_o_fft, ch, large):
+    mul, add = fr.mont_mul, fr.add
+    z_fft_shifted = jnp.roll(z_fft, -4, axis=1)
+    quotient_large = fr.neg(mul(mul(f1, f2), mul(f3, z_fft_shifted)))
+    coset = large.coset_root_vector()
+    t0 = add(add(mul(coset, ch["beta"]), ch["gamma"]), w_l_fft)
+    t1 = add(add(mul(coset, ch["bk1"]), ch["gamma"]), w_r_fft)
+    t2 = add(add(mul(coset, ch["bk2"]), ch["gamma"]), w_o_fft)
+    return add(quotient_large, mul(mul(t0, t1), mul(t2, z_fft)))
+
+
+@functools.partial(jax.jit, static_argnames=("small", "mid"))
+def _boundary_mid_jit(z_fft, ch, small, mid):
+    mul, sub = fr.mont_mul, fr.sub
+    z_fft_shifted = jnp.roll(z_fft, -4, axis=1)
+    l_1 = arithmetic.compute_lagrange_polynomial_fft(small, mid)
+    l_1_shifted = jnp.roll(l_1, -4, axis=1)
+    t6 = mul(mul(sub(z_fft_shifted[:, ::2], ch["alpha"]), ch["alpha"]), l_1_shifted)
+    t4 = mul(mul(sub(z_fft[:, ::2], ch["alpha"]), ch["alpha_sq"]), l_1)
+    return fr.add(t4, t6)
+
+
+@functools.partial(jax.jit, static_argnames=("small", "target"))
+def _vanish_jit(evals, small, target):
+    return arithmetic.divide_by_pseudo_vanishing_polynomial(evals, small, target)
+
+
+@jax.jit
+def _combine_quotients_jit(qm, ql):
+    n2 = qm.shape[1]
+    return jnp.concatenate([fr.add(ql[:, :n2], qm), ql[:, n2:]], axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("small", "mid", "large"))
 def _quotient_finalize_jit(quotient_mid, quotient_large, small, mid, large):
     """Z_H* division + coset iffts + mid/large combination
@@ -274,6 +325,22 @@ class Prover:
         self.z_poly = None
         self.r_poly = None
 
+    def _mesh_fft_ok(self) -> bool:
+        """True when all three domains split over the mesh (parallel/fft
+        _split_sizes needs n1, n2 both divisible by the axis size); tiny
+        fixtures fall back to replicated single-chip FFTs + sharded MSMs."""
+        if self.mesh is None:
+            return False
+        from ..parallel.fft import _split_sizes
+
+        d = self.mesh.shape["shards"]
+        try:
+            for sz in (self.n, 2 * self.n, 4 * self.n):
+                _split_sizes(sz, d)
+        except ValueError:
+            return False
+        return True
+
     # ------------------------------------------------------------------
     def commit(self, coeffs: jnp.ndarray) -> tuple:
         """MSM against the SRS monomials -> host affine point."""
@@ -289,13 +356,17 @@ class Prover:
     def commit_batch(self, coeffs_list) -> list:
         """B commitments as one batched MSM + one normalize + one host sync
         (the reference batches exactly these, scalar_multiplication.cpp:
-        650-674). With a mesh, each commitment runs as a mesh-sharded MSM
+        650-674). With a mesh, ALL B commitments run as ONE shard_map call
         (points sharded over chips, all_gather reduction)."""
         if self.mesh is not None:
-            return [self.commit(c) for c in coeffs_list]
-        from ..msm import batched_msm
+            from ..parallel import sharded_msm_batched
 
-        res = batched_msm(coeffs_list, self.monomials)
+            stacked = jnp.stack(coeffs_list, axis=1)  # (18, B, n)
+            res = sharded_msm_batched(stacked, self.monomials, self.mesh)
+        else:
+            from ..msm import batched_msm
+
+            res = batched_msm(coeffs_list, self.monomials)
         aff = g1.batch_normalize(res)
         xs = fq.decode(aff.x)
         ys = fq.decode(aff.y)
@@ -309,9 +380,16 @@ class Prover:
         product, convert wires to coefficient form."""
         small = self.state.small_domain
         self._w_l_evals, self._w_r_evals, self._w_o_evals = self.w_l, self.w_r, self.w_o
-        self.w_l = fft.ifft(self.w_l, small)
-        self.w_r = fft.ifft(self.w_r, small)
-        self.w_o = fft.ifft(self.w_o, small)
+        if self._mesh_fft_ok():
+            from ..parallel import sharded_ifft
+
+            self.w_l = sharded_ifft(self.w_l, self.mesh)
+            self.w_r = sharded_ifft(self.w_r, self.mesh)
+            self.w_o = sharded_ifft(self.w_o, self.mesh)
+        else:
+            self.w_l = fft.ifft(self.w_l, small)
+            self.w_r = fft.ifft(self.w_r, small)
+            self.w_o = fft.ifft(self.w_o, small)
 
     def compute_wire_commitments(self) -> None:
         """(prover.cpp:65-86): one 3-way batched MSM."""
@@ -356,6 +434,8 @@ class Prover:
     # ------------------------------------------------------------------
     def compute_quotient_polynomial(self) -> None:
         """(prover.cpp:405-465)."""
+        if self._mesh_fft_ok():
+            return self._compute_quotient_polynomial_mesh()
         st = self.state
         small, mid, large = st.small_domain, st.mid_domain, st.large_domain
         alpha = self.challenges.alpha
@@ -402,6 +482,70 @@ class Prover:
         st.quotient_large = _quotient_finalize_jit(
             st.quotient_mid, st.quotient_large, small, mid, large
         )
+
+    def _compute_quotient_polynomial_mesh(self) -> None:
+        """Mesh path of the quotient phase: every n/2n/4n transform routed
+        through the sharded Bailey FFT (parallel/fft.py) so the FFT-heavy
+        round 3 scales over chips (the round-2 mesh prover sharded only its
+        commitments); elementwise algebra runs as jitted dispatches over
+        the sharded global arrays."""
+        st = self.state
+        small, mid, large = st.small_domain, st.mid_domain, st.large_domain
+        mesh = self.mesh
+        from ..parallel import sharded_coset_fft, sharded_ifft
+
+        alpha = self.challenges.alpha
+        beta, gamma = self.challenges.beta, self.challenges.gamma
+        k1 = fr.params.multiplicative_generator
+        k2 = fr.params.alternate_multiplicative_generator
+        ch = {
+            "beta": enc(beta),
+            "gamma": enc(gamma),
+            "alpha": enc(alpha),
+            "alpha_sq": enc(alpha * alpha),
+            "bk1": enc(beta * k1),
+            "bk2": enc(beta * k2),
+        }
+        n = self.n
+
+        def pad4(c):
+            return CircuitState.pad(c, 4 * n)
+
+        st.w_l_fft = sharded_coset_fft(pad4(self.w_l), mesh)
+        st.w_r_fft = sharded_coset_fft(pad4(self.w_r), mesh)
+        st.w_o_fft = sharded_coset_fft(pad4(self.w_o), mesh)
+        z_fft = _scale_jit(sharded_coset_fft(pad4(self.z_poly), mesh), ch["alpha"])
+
+        # sigma evals -> beta-scaled coefficient forms (sharded_ifft folds
+        # in 1/n; prover.cpp:245-269)
+        s1_c = _scale_jit(sharded_ifft(self.sigma_1, mesh), ch["beta"])
+        s2_c = _scale_jit(sharded_ifft(self.sigma_2, mesh), ch["beta"])
+        s3_c = _scale_jit(sharded_ifft(self.sigma_3, mesh), ch["beta"])
+        self.sigma_1, self.sigma_2, self.sigma_3 = s1_c, s2_c, s3_c
+
+        f1 = sharded_coset_fft(
+            pad4(_perm_factor_pre_jit(s1_c, self.w_l, ch["gamma"])), mesh
+        )
+        f2 = sharded_coset_fft(
+            pad4(_perm_factor_pre_jit(s2_c, self.w_r, ch["gamma"])), mesh
+        )
+        f3 = sharded_coset_fft(
+            pad4(_perm_factor_pre_jit(s3_c, self.w_o, ch["gamma"])), mesh
+        )
+        st.quotient_large = _quotient_combine_jit(
+            f1, f2, f3, z_fft, st.w_l_fft, st.w_r_fft, st.w_o_fft, ch, large
+        )
+        st.quotient_mid = _boundary_mid_jit(z_fft, ch, small, mid)
+
+        alpha_base = pow(alpha, 4, P)
+        for w in self.widgets:
+            alpha_base = w.compute_quotient_contribution(alpha_base, alpha, st)
+
+        qm = _vanish_jit(st.quotient_mid, small, mid)
+        ql = _vanish_jit(st.quotient_large, small, large)
+        qm = sharded_coset_fft(qm, mesh, inverse=True)
+        ql = sharded_coset_fft(ql, mesh, inverse=True)
+        st.quotient_large = _combine_quotients_jit(qm, ql)
 
     def compute_quotient_commitment(self) -> None:
         """(prover.cpp:107-122)."""

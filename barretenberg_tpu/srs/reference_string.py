@@ -105,21 +105,19 @@ class ReferenceString:
     def generate(degree: int, secret: int) -> "ReferenceString":
         """Test/bench SRS: [tau^i]G1 for i < degree plus [tau]G2.
 
-        The tau powers are host ints (cheap); the degree scalar
-        multiplications run as ONE vectorized double-and-add over all lanes
-        on device - 254 dbl+add steps regardless of degree.
+        The tau powers are host ints (cheap); the degree generator
+        multiplications run via the fixed-base window table
+        (groups/g1.fixed_base_mul): 32 gather+mixed-add steps over all
+        lanes, no doublings - seconds at 2^20 where the double-and-add
+        sweep took ~5 minutes.
         """
         tau = secret % fr.p
         powers = [1] * degree
         for i in range(1, degree):
             powers[i] = powers[i - 1] * tau % fr.p
-        nbits = 254
-        bits_np = np.zeros((nbits, degree), dtype=np.uint32)
-        for i, s in enumerate(powers):
-            for b in range(nbits):
-                bits_np[nbits - 1 - b, i] = (s >> b) & 1
-        gen = g1.generator((degree,))
-        mono_jac = g1.scalar_mul_bits(gen, jnp.asarray(bits_np))
+        from ..groups.g1 import fixed_base_mul
+
+        mono_jac = fixed_base_mul(powers)
         monomials = g1.batch_normalize_chunked(mono_jac)
         g2_x = host_curve.g2_mul(host_curve.G2_GENERATOR, tau)
         return ReferenceString(monomials, g2_x, degree)

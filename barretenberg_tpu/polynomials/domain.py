@@ -126,6 +126,59 @@ class EvaluationDomain:
             jnp.take(lo, e & (k - 1), axis=1),
         )
 
+    # ------------------------------------------------------------------
+    # Bailey two-level FFT tables. The full transform of size n = n1*n2 is
+    # two batches of short column FFTs (along a large-stride axis - every
+    # butterfly moves blocks of >= n2 contiguous elements, so no
+    # lane-granular shuffles) joined by the mid twiddle w^(k1*i2) and one
+    # transpose. Used by polynomials/fft.py on TPU; the reference's
+    # fft_inner_parallel (polynomial_arithmetic.cpp:129-264) achieves the
+    # same cache locality with per-thread butterfly ranges.
+    # ------------------------------------------------------------------
+    def bailey_tables(self, inverse: bool = False):
+        cache = self.__dict__.setdefault("_bailey_cache", {})
+        if inverse in cache:
+            return cache[inverse]
+        n, log2n = self.size, self.log2_size
+        log1 = log2n // 2
+        n1, n2 = 1 << log1, n >> log1
+        root = self.root_inverse if inverse else self.root
+
+        def stage_tws(m: int, w_m: int):
+            tbl = self._power_table(w_m, max(1, m // 2))
+            out = []
+            for s in range(m.bit_length() - 1):
+                h = 1 << s
+                out.append(tbl[:, :: m // (2 * h)][:, :h])
+            return out
+
+        def bitrev(m: int):
+            bits = m.bit_length() - 1
+            idx = np.arange(m, dtype=np.uint32)
+            rev = np.zeros_like(idx)
+            for b in range(bits):
+                rev |= ((idx >> b) & 1) << (bits - 1 - b)
+            return jnp.asarray(rev.astype(np.int32))
+
+        full = self.inverse_root_vector() if inverse else self.root_vector()
+        k1 = np.arange(n1, dtype=np.int64)[:, None]
+        i2 = np.arange(n2, dtype=np.int64)[None, :]
+        idx = ((k1 * i2) % n).astype(np.int32).reshape(-1)
+        tmid = jnp.take(full, jnp.asarray(idx), axis=1)  # (18, n) flat
+
+        tables = {
+            "n1": n1,
+            "n2": n2,
+            "tws1": stage_tws(n1, pow(root, n2, fr.p)),
+            "tws2": stage_tws(n2, pow(root, n1, fr.p)),
+            "bitrev1": bitrev(n1),
+            "bitrev2": bitrev(n2),
+            "tmid": tmid,
+        }
+        tables = jax.block_until_ready(tables)
+        cache[inverse] = tables
+        return tables
+
     def warm_tables(self, inverse: bool = False, coset: bool = False) -> None:
         """Materialize the cached device tables eagerly. Must be called
         before using this domain inside a jit/shard_map trace, otherwise the

@@ -28,6 +28,53 @@ from ..fields import fr
 from .domain import EvaluationDomain
 
 
+def _use_bailey(domain: EvaluationDomain) -> bool:
+    """Two-level (Bailey) FFT with the fused Pallas butterfly kernel: the
+    performance path on TPU for sizes where the lane blocks tile (n1 and n2
+    both >= 128, i.e. n >= 2^14)."""
+    from .. import config
+
+    return domain.size >= (1 << 14) and (
+        config.use_pallas() or config.pallas_interpret()
+    )
+
+
+def _level_fft(x: jnp.ndarray, tws, bitrev) -> jnp.ndarray:
+    """Radix-2 DIT FFT of length m along axis 1 of x (18, m, nb), one fused
+    Pallas pass per stage (kernels/butterfly.py). Every butterfly moves
+    blocks of nb >= 128 contiguous lanes, so there are no gathers or
+    lane-granular rolls (the round-3 stage loop paid 3 HBM passes per stage
+    for exactly those)."""
+    from .. import config
+    from ..kernels.butterfly import butterfly_stage
+
+    interpret = config.pallas_interpret()
+    _, m, nb = x.shape
+    x = jnp.take(x, bitrev, axis=1)
+    for s in range(m.bit_length() - 1):
+        h = 1 << s
+        x5 = x.reshape(18, m // (2 * h), 2, h, nb)
+        x5 = butterfly_stage(fr.params, x5, tws[s], interpret)
+        x = x5.reshape(18, m, nb)
+    return x
+
+
+def _bailey_core(coeffs: jnp.ndarray, domain: EvaluationDomain, inverse: bool):
+    """n = n1*n2 two-level decomposition:
+    X[k1 + n1*k2] = sum_i2 w_n2^(i2 k2) [ w_n^(i2 k1) sum_i1 A[i1][i2]
+    w_n1^(i1 k1) ] for A[i1][i2] = coeffs[i1*n2 + i2]; the second-level
+    output lands in natural order, so no final transpose. Matches the
+    reference's evaluation convention (polynomial_arithmetic.cpp:129-264)."""
+    bt = domain.bailey_tables(inverse)
+    n1, n2 = bt["n1"], bt["n2"]
+    x = coeffs.reshape(18, n1, n2)
+    x = _level_fft(x, bt["tws1"], bt["bitrev1"])  # over i1
+    x = fr.mont_mul(x.reshape(18, -1), bt["tmid"]).reshape(18, n1, n2)
+    x = jnp.swapaxes(x, 1, 2)  # (18, n2, n1)
+    x = _level_fft(x, bt["tws2"], bt["bitrev2"])  # over i2
+    return x.reshape(18, domain.size)
+
+
 def _fft_core(coeffs: jnp.ndarray, domain: EvaluationDomain, inverse: bool):
     """DIT radix-2 core as ONE lax.fori_loop over the log2(n) stages.
 
@@ -43,6 +90,8 @@ def _fft_core(coeffs: jnp.ndarray, domain: EvaluationDomain, inverse: bool):
     """
     n = domain.size
     assert coeffs.shape == (coeffs.shape[0], n)
+    if _use_bailey(domain):
+        return _bailey_core(coeffs, domain, inverse)
     x = jnp.take(coeffs, domain.bit_reverse_indices, axis=1)
     if n == 1:
         return x
@@ -104,6 +153,10 @@ def _fft_jit(
 
 def _dispatch(coeffs, domain, inverse: bool, coset: bool, value: int | None):
     domain.warm_tables(inverse=inverse, coset=coset)
+    if _use_bailey(domain):
+        # tables must exist eagerly - built under trace they would be cached
+        # as tracers (and recomputed inside every FFT graph)
+        domain.bailey_tables(inverse)
     if inverse:
         scale_val = domain.domain_inverse * (value if value is not None else 1) % fr.p
     else:

@@ -97,3 +97,29 @@ def test_divide_by_pseudo_vanishing_polynomial(dom):
         PA.divide_by_pseudo_vanishing_polynomial(fr.encode(tv), dom, dom4)
     )
     assert out == exp
+
+
+def test_bailey_fft_matches_stage_loop():
+    """Two-level Bailey core (TPU path, kernels/butterfly.py in interpret
+    mode) vs the single-level stage loop, both directions, at the minimum
+    Bailey size 2^14."""
+    import jax.numpy as jnp
+
+    from barretenberg_tpu import config
+
+    n = 1 << 14
+    domb = get_domain(n)
+    rng = np.random.default_rng(11)
+    x = fr.random_elements(n, rng)
+    old_interp = config.pallas_interpret()
+    config.set_pallas_interpret(True)
+    try:
+        for inverse in (False, True):
+            domb.warm_tables(inverse=inverse)
+            tbl = domb.inverse_twiddles if inverse else domb.twiddles
+            xb = jnp.take(x, domb.bit_reverse_indices, axis=1)
+            ref = F.fft_stages(xb, tbl, domb.log2_size)
+            got = F._bailey_core(x, domb, inverse=inverse)
+            assert bool(jnp.all(ref == got))
+    finally:
+        config.set_pallas_interpret(old_interp)

@@ -55,21 +55,23 @@ def sharded_msm_batched(
 
     def local_fn(s, px, py, pinf):
         local_n = s.shape[2]
-        flat = s.reshape(18, b * local_n)
-        pts = AffinePoints(
-            jnp.tile(px, (1, b)), jnp.tile(py, (1, b)), jnp.tile(pinf, b)
+        pts = AffinePoints(px, py, pinf)
+        # full per-shard Pippenger, vmapped over the B scalar sets: ONE
+        # traced graph (not B inlined copies), so the compiled size stays
+        # constant while each batch gets the O(n/log n) kernel - the mesh
+        # analog of the per-thread sub-Pippengers in
+        # batched_scalar_multiplications (scalar_multiplication.cpp:650-772).
+        if local_n < MSM_PIPPENGER_THRESHOLD:
+            one = lambda s2: naive_msm(s2, pts)
+        else:
+            one = lambda s2: pippenger(s2, pts)
+        vp = jax.vmap(one, in_axes=1)(s)  # leading batch axis b
+        part = JacobianPoints(
+            jnp.moveaxis(vp.x, 0, 1),  # (18, b, 1)
+            jnp.moveaxis(vp.y, 0, 1),
+            jnp.moveaxis(vp.z, 0, 1),
+            vp.inf,  # (b, 1)
         )
-        from ..msm.pippenger import scalar_digits
-
-        bits = scalar_digits(flat, 1)[::-1]
-        per_point = g1.scalar_mul_bits(pts, bits)
-        grouped = JacobianPoints(
-            per_point.x.reshape(18, b, local_n),
-            per_point.y.reshape(18, b, local_n),
-            per_point.z.reshape(18, b, local_n),
-            per_point.inf.reshape(b, local_n),
-        )
-        part = g1.tree_sum(grouped)  # (18, b, 1)
         gx = jax.lax.all_gather(part.x, axis_name, axis=2, tiled=True)
         gy = jax.lax.all_gather(part.y, axis_name, axis=2, tiled=True)
         gz = jax.lax.all_gather(part.z, axis_name, axis=2, tiled=True)

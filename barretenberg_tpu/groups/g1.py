@@ -6,6 +6,8 @@ g1.hpp:9-17 decode to these values).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -80,6 +82,38 @@ def random_points_device(n: int, rng: np.random.Generator) -> AffinePoints:
     ]
     bits = scalars_to_bits_msb(scalars)
     return _multi_scalar_gen(bits)
+
+
+@functools.partial(_jax.jit, static_argnames=("c",))
+def _scalar_mul_glv_impl(px, py, pinf, scalars_mont, c: int) -> JacobianPoints:
+    from ..msm.wnaf import signed_digits, split_scalars
+
+    p = AffinePoints(px, py, pinf)
+    k1, k2 = split_scalars(scalars_mont)
+    d1 = signed_digits(k1, c)
+    d2 = signed_digits(k2, c)
+    tab = g1._build_mul_table(p, (1 << (c - 1)) + 1)
+    # endo image of every table entry: psi(x,y,z) = (beta*x, -y, z) - the
+    # Jacobian form of the affine endomorphism (scalar_multiplication.cpp:
+    # 131-140), so k*P = walk(k1 against T) + walk(k2 against psi(T))
+    tab2 = JacobianPoints(
+        fq.mul_by_constant(tab.x, fq.params.cube_root),
+        fq.neg(tab.y),
+        tab.z,
+        tab.inf,
+    )
+    return g1._windowed_walk([tab, tab2], [d1, d2], c)
+
+
+def scalar_mul_glv(
+    p: AffinePoints, scalars_mont: jnp.ndarray, c: int = 5
+) -> JacobianPoints:
+    """Arbitrary-base GLV + signed-window scalar multiplication
+    (reference group_exponentiation_endo, groups/group.hpp:653-760):
+    half-length digit walks over P and psi(P) share the doublings, so a
+    254-bit multiply costs ~127 doublings + 2*ceil(128/c) adds + a
+    2^(c-1)-entry table instead of 254 doubling+add steps."""
+    return _scalar_mul_glv_impl(p.x, p.y, p.inf, scalars_mont, c)
 
 
 _fixed_base_table_cache: AffinePoints | None = None

@@ -314,6 +314,88 @@ class Curve:
     def _scalar_mul_bits_jit(self):
         return jax.jit(self._scalar_mul_bits)
 
+    # ------------------------------------------------------------------
+    # Windowed (table) scalar multiplication for arbitrary bases - the
+    # counterpart of the reference's group_exponentiation_endo table walk
+    # (groups/group.hpp:653-760): build T[m] = m*P for m <= 2^(c-1), then
+    # per signed window do c doublings + one table-select add. ~c x fewer
+    # group-op dispatches than the 254-step double-and-add above.
+    # ------------------------------------------------------------------
+    def _build_mul_table(self, p: AffinePoints, size: int) -> JacobianPoints:
+        """T[m] = m*P as a JacobianPoints batch with a LEADING table axis:
+        x,y,z (18, size, *batch); inf (size, *batch)."""
+
+        def step(carry, _):
+            return self.mixed_add(carry, p), carry
+
+        _, tab = jax.lax.scan(
+            step, self.infinity(self.f.batch_shape(p.x)), None, length=size
+        )
+        # scan stacks the table axis in front: x (size, 18, *batch)
+        return JacobianPoints(
+            jnp.moveaxis(tab.x, 0, 1),
+            jnp.moveaxis(tab.y, 0, 1),
+            jnp.moveaxis(tab.z, 0, 1),
+            tab.inf,
+        )
+
+    @staticmethod
+    def _take_table(tab: JacobianPoints, idx) -> JacobianPoints:
+        """Per-lane table gather: idx (*batch,) int32 -> points (*batch)."""
+        sel = idx[None, None]  # (1, 1, *batch)
+        return JacobianPoints(
+            jnp.take_along_axis(tab.x, sel, axis=1)[:, 0],
+            jnp.take_along_axis(tab.y, sel, axis=1)[:, 0],
+            jnp.take_along_axis(tab.z, sel, axis=1)[:, 0],
+            jnp.take_along_axis(tab.inf, idx[None], axis=0)[0],
+        )
+
+    def _windowed_walk(self, tables, digit_sets, c: int) -> JacobianPoints:
+        """MSB-first walk: per round, c doublings then one table-select add
+        per digit set. tables/digit_sets: equal-length lists (GLV runs the
+        two half-scalars against two tables sharing the doublings, exactly
+        as group.hpp:653-760 shares them across the endo halves)."""
+        f = self.f
+        rev = [d[::-1].astype(jnp.int32) for d in digit_sets]
+        acc = self.infinity(rev[0].shape[1:])
+
+        def body(acc, ds):
+            acc = jax.lax.fori_loop(0, c, lambda _, a: self.dbl(a), acc)
+            for tab, d in zip(tables, ds):
+                mag = jnp.abs(d)
+                sel = self._take_table(tab, mag)
+                sel = JacobianPoints(
+                    sel.x, f.select(d < 0, f.neg(sel.y), sel.y), sel.z, sel.inf
+                )
+                acc = self.add(acc, sel)
+            return acc, None
+
+        acc, _ = jax.lax.scan(body, acc, tuple(rev))
+        return acc
+
+    def scalar_mul_windowed(
+        self, p: AffinePoints, scalars_mont: jnp.ndarray, c: int = 5
+    ) -> JacobianPoints:
+        """k*P for arbitrary per-lane bases, via signed c-bit windows over
+        the full 254-bit scalar (no endomorphism - valid for any curve
+        instantiation, incl. G2 where USE_ENDOMORPHISM is false,
+        curves/bn254/g2.hpp)."""
+        if not isinstance(p.x, jax.core.Tracer):
+            return self._scalar_mul_windowed_jit(p, scalars_mont, c)
+        return self._scalar_mul_windowed_impl(p, scalars_mont, c)
+
+    def _scalar_mul_windowed_impl(self, p, scalars_mont, c: int):
+        from ..fields import fr as _fr
+        from ..msm.wnaf import signed_digits_full
+
+        digits = signed_digits_full(_fr.to_plain(scalars_mont), c)
+        tab = self._build_mul_table(p, (1 << (c - 1)) + 1)
+        return self._windowed_walk([tab], [digits], c)
+
+    @functools.cached_property
+    def _scalar_mul_windowed_jit(self):
+        return jax.jit(self._scalar_mul_windowed_impl, static_argnames=("c",))
+
     def tree_sum(self, p: JacobianPoints) -> JacobianPoints:
         """Log-depth sum over the LAST batch axis, returned with that axis
         collapsed to length 1.

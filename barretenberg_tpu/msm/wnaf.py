@@ -92,6 +92,29 @@ def _window(limbs, lo: int, c: int):
     return d & jnp.uint32((1 << c) - 1)
 
 
+def signed_digits_full(value, c: int, nbits: int = 254) -> jnp.ndarray:
+    """(18, N) plain canonical value -> (rounds, N) int32 signed window
+    digits over the FULL scalar width, LSB window first (used by the
+    arbitrary-base windowed scalar mul, groups/group.py)."""
+    nwin = -(-nbits // c)
+    half_val = jnp.uint32(1 << (c - 1))
+    full = jnp.uint32(1 << c)
+    carry = jnp.zeros(value.shape[1], dtype=jnp.uint32)
+    out = []
+    for r in range(nwin):
+        v = _window(value, r * c, c) + carry
+        borrow = v >= half_val
+        d = jnp.where(
+            borrow,
+            v.astype(jnp.int32) - full.astype(jnp.int32),
+            v.astype(jnp.int32),
+        )
+        carry = borrow.astype(jnp.uint32)
+        out.append(d)
+    out.append(carry.astype(jnp.int32))
+    return jnp.stack(out)
+
+
 def signed_digits(half, c: int) -> jnp.ndarray:
     """(18, N) plain value < 2^128 -> (rounds, N) int32 signed window digits,
     LSB window first; digits in [-2^(c-1), 2^(c-1)]."""

@@ -176,3 +176,29 @@ class TestNormalizeAndOracle:
         k = 0x1234567890ABCDEF1234567890ABCDEF
         dev = jacobian_to_host(scalar_mul(gpt, k))[0]
         assert dev == host_curve.g1_mul(host_curve.G1_GENERATOR, k)
+
+
+class TestWindowedScalarMul:
+    """Arbitrary-base GLV + signed-window scalar multiplication vs the
+    double-and-add oracle (reference group_exponentiation_endo,
+    groups/group.hpp:653-760)."""
+
+    def test_windowed_and_glv_vs_oracle(self):
+        from barretenberg_tpu.fields import fr
+        from barretenberg_tpu.groups.g1 import scalar_mul_glv, scalars_to_bits_msb
+
+        rng = np.random.default_rng(17)
+        pts = random_affine_points(4, rng)
+        svals = [0, 1, fr.p - 1,
+                 int.from_bytes(rng.bytes(32), "little") % fr.p]
+        s = fr.encode(svals)
+        oracle = jacobian_to_host(g1.scalar_mul_bits(pts, scalars_to_bits_msb(svals)))
+        assert jacobian_to_host(g1.scalar_mul_windowed(pts, s, c=5)) == oracle
+        assert jacobian_to_host(scalar_mul_glv(pts, s, c=5)) == oracle
+
+    def test_glv_infinity_base(self):
+        from barretenberg_tpu.fields import fr
+        from barretenberg_tpu.groups.g1 import scalar_mul_glv
+
+        r = scalar_mul_glv(g1.affine_infinity((2,)), fr.encode([5, 7]))
+        assert bool(r.inf.all())

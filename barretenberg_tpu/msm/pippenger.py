@@ -265,6 +265,12 @@ def _pippenger_impl(
             px, jnp.where(negate[None], neg_py, py), pinf | (mag == 0)
         )
         window = _accumulate_window(bucket, pts, nbuckets, block)
+        # optimization_barrier: XLA:TPU miscompiles the fusion of the
+        # window accumulation with the loop-carried doubling chain at
+        # n >= 2^14 (observed on v5e: per-round windows correct standalone,
+        # whole-loop result wrong; same defect class as the broadcast-mul
+        # barrier in fields/montgomery.py:_materialize_broadcast)
+        window, acc = jax.lax.optimization_barrier((window, acc))
         acc = jax.lax.fori_loop(0, c, lambda _, a: g1.dbl(a), acc)
         return g1.add(acc, window)
 

@@ -18,6 +18,7 @@ ceil(128/c)+1 rounds instead of ceil(254/c) unsigned ones.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..fields import fr
@@ -37,9 +38,19 @@ HALF_LIMBS = -(-HALF_BITS // LIMB_BITS)  # 9 limbs cover 135 bits
 
 
 def _broadcast_const(value: int, batch: int) -> jnp.ndarray:
-    return jnp.broadcast_to(
-        jnp.asarray(int_to_limbs(value))[:, None], (NUM_LIMBS, batch)
-    ).astype(jnp.uint32)
+    # optimization_barrier: materialize the broadcast. XLA:TPU miscompiles
+    # the (18,1)->(18,n) implicit broadcast when fused into a limb product
+    # at n >= 2^14 (v5e; the same defect fields/montgomery.py
+    # _materialize_broadcast guards against - _mul_full calls the raw
+    # product helpers, bypassing that central barrier). Observed here as
+    # wrong GLV digits ONLY when split_scalars is inlined into a larger jit:
+    # the 2^14 Pippenger (and therefore every >= 2^14 PLONK commitment)
+    # silently produced a wrong MSM.
+    return jax.lax.optimization_barrier(
+        jnp.broadcast_to(
+            jnp.asarray(int_to_limbs(value))[:, None], (NUM_LIMBS, batch)
+        ).astype(jnp.uint32)
+    )
 
 
 def _mul_full(a, b):
@@ -63,19 +74,26 @@ def split_scalars(scalars_mont: jnp.ndarray):
     """(18, N) internal-Montgomery Fr -> (k1, k2) plain canonical limb arrays,
     each < 2^128, with k = k1 - k2*lambda (mod r)."""
     n = scalars_mont.shape[1]
-    k = fr.to_plain(scalars_mont)
+    barrier = jax.lax.optimization_barrier
+    # The barriers below pin every stage of the split: XLA:TPU fuses these
+    # limb products into surrounding graphs and miscompiles at n >= 2^14
+    # (v5e; wrong GLV digits ONLY when split_scalars is inlined into a
+    # larger jit such as the Pippenger impl - every >= 2^14 PLONK
+    # commitment silently produced a wrong MSM). Same defect class as
+    # fields/montgomery.py _materialize_broadcast.
+    k = barrier(fr.to_plain(scalars_mont))
 
-    c1 = _mul_full(k, _broadcast_const(GLV_G2 << 14, n))[NUM_LIMBS:]
-    c2 = _mul_full(k, _broadcast_const(GLV_G1 << 14, n))[NUM_LIMBS:]
+    c1 = barrier(_mul_full(k, _broadcast_const(GLV_G2 << 14, n))[NUM_LIMBS:])
+    c2 = barrier(_mul_full(k, _broadcast_const(GLV_G1 << 14, n))[NUM_LIMBS:])
     # q1 = c1 * minus_b1, q2 = c2 * b2; both < 2^192, no masking needed
-    q1 = _mul_full(c1, _broadcast_const(GLV_MINUS_B1, n))[:NUM_LIMBS]
-    q2 = _mul_full(c2, _broadcast_const(GLV_B2, n))[:NUM_LIMBS]
+    q1 = barrier(_mul_full(c1, _broadcast_const(GLV_MINUS_B1, n))[:NUM_LIMBS])
+    q2 = barrier(_mul_full(c2, _broadcast_const(GLV_B2, n))[:NUM_LIMBS])
     # t1 = q2 - q1 mod r (both < 2^192 < r, so one field sub suffices)
-    t1 = fr.sub(q2, q1)
+    t1 = barrier(fr.sub(q2, q1))
     # t2 = t1 * lambda + k mod r, via Montgomery with lambda<<270 folded in
     lam_enc = (fr.params.cube_root << 270) % fr.p
     t1_lam = fr.mont_mul(t1, _broadcast_const(lam_enc, n))
-    t2 = fr.add(t1_lam, k)
+    t2 = barrier(fr.add(t1_lam, k))
     return _mask_to_128(t2), _mask_to_128(t1)
 
 

@@ -234,6 +234,17 @@ class Field:
     # ------------------------------------------------------------------
     # Multiplication
     # ------------------------------------------------------------------
+    @staticmethod
+    def _skew_sum(m):
+        """Anti-diagonal sums: m (L, L, *batch) -> (2L-1, *batch) with
+        out[k] = sum_i m[i, k-i]. Done with one pad+reshape ("skew") so XLA
+        sees 3 cheap ops instead of L dynamic-update-slices."""
+        batch = m.shape[2:]
+        mp = jnp.pad(m, ((0, 0), (0, L)) + ((0, 0),) * len(batch))
+        flat = mp.reshape((L * 2 * L,) + batch)
+        sk = flat[: L * (2 * L - 1)].reshape((L, 2 * L - 1) + batch)
+        return sk.sum(axis=0, dtype=jnp.uint32)
+
     @classmethod
     def _wide_product_cols(cls, a, b):
         """Full 36-column carry-save product of two limb vectors.
@@ -241,33 +252,51 @@ class Field:
         a: (L, *batch), b: (L, *batch) -> (2L, *batch) columns, each < 2^21.
         Limbs may be relaxed up to ~2^15 + 2^7; 15-bit products fit uint32.
 
-        Implemented as explicit per-row accumulation (the same schedule as
-        the Pallas kernel body, kernels/limb_ops.py). The previous
-        outer-product + pad/reshape "skew" formulation is MISCOMPILED by
-        XLA:TPU when jitted at batch >= 2^14 on v5e (shape-dependent: jit
-        output differed from the op-by-op eager result; adding an
-        optimization_barrier after the outer product did NOT fix 2^14).
-        This silently corrupted every jitted XLA-path product at >= 2^14 -
-        observed as wrong GLV split digits inside Pippenger, i.e. wrong
-        >= 2^14 PLONK commitments. The row form is also ~20% faster.
+        TWO formulations, dispatched by backend at trace time:
+
+        * TPU: explicit per-row accumulation (the schedule of the Pallas
+          kernel body, kernels/limb_ops.py). The outer-product + pad/
+          reshape "skew" formulation below is MISCOMPILED by XLA:TPU when
+          jitted at batch >= 2^14 on v5e (shape-dependent: jit output
+          differed from the op-by-op eager result; an optimization_barrier
+          after the outer product did NOT fix 2^14). That silently
+          corrupted every jitted XLA-path product at >= 2^14 - observed as
+          wrong GLV split digits inside Pippenger, i.e. wrong >= 2^14
+          PLONK commitments. The row form is also ~20% faster on TPU.
+        * CPU (tests, dryruns): the compact skew formulation - it is
+          correct there, and its ~15-op graph compiles an order of
+          magnitude faster on XLA:CPU than the 1000-op row graph.
         """
-        cols: list = [None] * (2 * L)
+        if jax.default_backend() == "tpu":
+            cols: list = [None] * (2 * L)
 
-        def acc(k, v):
-            cols[k] = v if cols[k] is None else cols[k] + v
+            def acc(k, v):
+                cols[k] = v if cols[k] is None else cols[k] + v
 
-        for i in range(L):
-            ai = a[i]
-            for j in range(L):
-                prod = ai * b[j]
-                acc(i + j, prod & LIMB_MASK)
-                acc(i + j + 1, prod >> LIMB_BITS)
-        return jnp.stack(cols)
+            for i in range(L):
+                ai = a[i]
+                for j in range(L):
+                    prod = ai * b[j]
+                    acc(i + j, prod & LIMB_MASK)
+                    acc(i + j + 1, prod >> LIMB_BITS)
+            return jnp.stack(cols)
+        outer = a[:, None] * b[None, :]  # (L, L, *batch)
+        lo = cls._skew_sum(outer & LIMB_MASK)  # (2L-1, *batch)
+        hi = cls._skew_sum(outer >> LIMB_BITS)
+        pad_cfg = ((0, 0),) * (lo.ndim - 1)
+        return jnp.pad(lo, ((0, 1),) + pad_cfg) + jnp.pad(hi, ((1, 0),) + pad_cfg)
 
     @classmethod
     def _low_product_cols(cls, a, b_limbs_const):
         """Columns 0..L-1 of a * b (exact mod 2^270), b a host constant
-        (zero limbs skipped at trace time)."""
+        (zero limbs skipped at trace time). Same backend dispatch rationale
+        as _wide_product_cols."""
+        if jax.default_backend() != "tpu":
+            batch = a.shape[1:]
+            b = jnp.asarray(b_limbs_const.reshape((L,) + (1,) * len(batch)))
+            return cls._wide_product_cols(
+                a, jnp.broadcast_to(b, (L, *batch))
+            )[:L]
         cols: list = [None] * L
         consts = [int(v) for v in b_limbs_const]
         for i in range(L):
@@ -291,6 +320,12 @@ class Field:
         """All 2L columns of a * b, b a host-constant limb list (used for
         the m*p reduction product so no broadcast operand enters the
         graph - see the miscompile note on _wide_product_cols)."""
+        if jax.default_backend() != "tpu":
+            batch = a.shape[1:]
+            b = jnp.asarray(
+                jnp.asarray(b_limbs_const).reshape((L,) + (1,) * len(batch))
+            )
+            return cls._wide_product_cols(a, jnp.broadcast_to(b, (L, *batch)))
         cols: list = [None] * (2 * L)
         consts = [int(v) for v in b_limbs_const]
         for i in range(L):

@@ -730,17 +730,48 @@ class Prover:
         return _kate_jit(coeffs, enc(f_val), enc(w), enc((-w) % P))
 
     # ------------------------------------------------------------------
-    def construct_proof(self) -> Proof:
-        """(prover.cpp:661-670)."""
+    def construct_proof(self, timings: dict | None = None) -> Proof:
+        """(prover.cpp:661-670). Pass a dict as `timings` to record
+        per-phase wall seconds (each phase is then fenced with a one-element
+        device fetch - the only reliable sync through the remote tunnel)."""
         small = self.state.small_domain
-        self.sigma_1 = compute_permutation_lagrange_base(self.sigma_1_mapping, small)
-        self.sigma_2 = compute_permutation_lagrange_base(self.sigma_2_mapping, small)
-        self.sigma_3 = compute_permutation_lagrange_base(self.sigma_3_mapping, small)
-        self.compute_wire_coefficients()
-        self.compute_wire_commitments()
-        self.compute_z_coefficients()
-        self.compute_z_commitment()
-        self.compute_quotient_polynomial()
-        self.compute_quotient_commitment()
-        self.compute_opening_elements()
+
+        def _phase(name, fn, probe=None):
+            import time as _time
+
+            t0 = _time.perf_counter()
+            fn()
+            if timings is not None:
+                if probe is not None:
+                    arr = probe()
+                    np.asarray(arr[(slice(0, 1),) * arr.ndim])
+                timings[name] = round(_time.perf_counter() - t0, 4)
+
+        def _sigmas():
+            self.sigma_1 = compute_permutation_lagrange_base(
+                self.sigma_1_mapping, small
+            )
+            self.sigma_2 = compute_permutation_lagrange_base(
+                self.sigma_2_mapping, small
+            )
+            self.sigma_3 = compute_permutation_lagrange_base(
+                self.sigma_3_mapping, small
+            )
+
+        _phase("sigma_bases", _sigmas, lambda: self.sigma_3)
+        _phase(
+            "wire_ifft", self.compute_wire_coefficients, lambda: self.w_o
+        )
+        _phase("wire_commit", self.compute_wire_commitments)
+        _phase(
+            "grand_product", self.compute_z_coefficients, lambda: self.z_poly
+        )
+        _phase("z_commit", self.compute_z_commitment)
+        _phase(
+            "quotient",
+            self.compute_quotient_polynomial,
+            lambda: self.state.quotient_large,
+        )
+        _phase("quotient_commit", self.compute_quotient_commitment)
+        _phase("opening", self.compute_opening_elements)
         return self.proof

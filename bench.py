@@ -217,8 +217,9 @@ def bench_prove(log_n: int, details: dict):
     cold = time.perf_counter() - t0
     _log(f"prove 2^{log_n} cold {cold:.1f}s")
     prover = build_fixture_prover(n, srs=srs)
+    timings: dict = {}
     t0 = time.perf_counter()
-    proof = prover.construct_proof()
+    proof = prover.construct_proof(timings=timings)
     wall = time.perf_counter() - t0
     # verify once for the record (bench_plonk.cpp benches this too)
     from barretenberg_tpu.plonk import preprocess
@@ -234,6 +235,7 @@ def bench_prove(log_n: int, details: dict):
         "cold_s": cold,
         "verify_s": verify_s,
         "verified": bool(ok),
+        "phases_s": timings,
     })
 
 

@@ -28,26 +28,42 @@ def _tree_sum(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+@jax.jit
+def _powers_table_jit(z_arr: jnp.ndarray, n_like: jnp.ndarray) -> jnp.ndarray:
+    """(18, n) table of z^k from a (18, 1) z array (one associative scan;
+    shape taken from n_like)."""
+    from ..utils.scans import hillis_scan
+
+    n = n_like.shape[1]
+    one = fr.full((1,), fr.one)
+    zs = jnp.concatenate([one, jnp.broadcast_to(z_arr, (18, n - 1))], axis=1)
+    return hillis_scan(fr.mont_mul, zs, axis=1)
+
+
 def powers_of(value: int, n: int) -> jnp.ndarray:
-    """(18, n) table of value^k (host-known base), via log-doubling."""
-    table = fr.encode([1])
-    k = 1
-    while k < n:
-        step = min(k, n - k)
-        factor = pow(value, k, fr.p)
-        ext = fr.mul_by_constant(table[:, :step], factor)
-        table = jnp.concatenate([table, ext], axis=1)
-        k += step
-    return table
+    """(18, n) table of value^k (host-known base), as ONE jitted scan.
+    (The previous eager log-doubling loop cost ~15 eager field ops; an
+    eager mont_mul is hundreds of individually-dispatched primitives
+    through the remote tunnel - seconds per op.)"""
+    if n == 1:
+        return fr.encode([1])
+    return _powers_table_jit(
+        fr.encode([value % fr.p]), jnp.zeros((1, n), dtype=jnp.uint32)
+    )
+
+
+@jax.jit
+def _evaluate_jit(coeffs: jnp.ndarray, z_arr: jnp.ndarray) -> jnp.ndarray:
+    zp = _powers_table_jit(z_arr, coeffs)
+    return _tree_sum(fr.mont_mul(coeffs, zp))
 
 
 def evaluate(coeffs: jnp.ndarray, z: int) -> int:
     """P(z) for a host-known z; returns the value as a host int.
     (reference: multithreaded Horner, polynomial_arithmetic.cpp:337-373 -
-    here a power-table inner product, which maps to lanes.)"""
-    n = coeffs.shape[1]
-    zp = powers_of(z % fr.p, n)
-    return fr.decode(_tree_sum(fr.mont_mul(coeffs, zp)))[0]
+    here a power-table inner product, which maps to lanes, compiled as ONE
+    jitted dispatch per polynomial length.)"""
+    return fr.decode(_evaluate_jit(coeffs, fr.encode([z % fr.p])))[0]
 
 
 def evaluate_device(coeffs: jnp.ndarray, zpow: jnp.ndarray) -> jnp.ndarray:

@@ -266,8 +266,18 @@ class Field:
         * CPU (tests, dryruns): the compact skew formulation - it is
           correct there, and its ~15-op graph compiles an order of
           magnitude faster on XLA:CPU than the 1000-op row graph.
+
+        On TPU the row form is only needed at batch >= 2^13 (the
+        miscompile was observed at 2^14; 2^13 verified correct with skew;
+        one factor-2 safety margin). Small batches - e.g. the (1,)-point
+        window combines inside Pippenger - keep the compact skew graph,
+        which keeps whole-program HLO counts (and so XLA compile times)
+        sane.
         """
-        if jax.default_backend() == "tpu":
+        nelems = 1
+        for d in a.shape[1:]:
+            nelems *= d
+        if jax.default_backend() == "tpu" and nelems >= (1 << 13):
             cols: list = [None] * (2 * L)
 
             def acc(k, v):
@@ -291,7 +301,10 @@ class Field:
         """Columns 0..L-1 of a * b (exact mod 2^270), b a host constant
         (zero limbs skipped at trace time). Same backend dispatch rationale
         as _wide_product_cols."""
-        if jax.default_backend() != "tpu":
+        nelems = 1
+        for d in a.shape[1:]:
+            nelems *= d
+        if jax.default_backend() != "tpu" or nelems < (1 << 13):
             batch = a.shape[1:]
             b = jnp.asarray(b_limbs_const.reshape((L,) + (1,) * len(batch)))
             return cls._wide_product_cols(
@@ -320,7 +333,10 @@ class Field:
         """All 2L columns of a * b, b a host-constant limb list (used for
         the m*p reduction product so no broadcast operand enters the
         graph - see the miscompile note on _wide_product_cols)."""
-        if jax.default_backend() != "tpu":
+        nelems = 1
+        for d in a.shape[1:]:
+            nelems *= d
+        if jax.default_backend() != "tpu" or nelems < (1 << 13):
             batch = a.shape[1:]
             b = jnp.asarray(
                 jnp.asarray(b_limbs_const).reshape((L,) + (1,) * len(batch))

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fields import fq, fr
+from ..groups import JacobianPoints
 from ..groups.g1 import g1
 from ..msm import msm
 from ..polynomials import arithmetic, fft
@@ -342,6 +343,22 @@ class Prover:
         return True
 
     # ------------------------------------------------------------------
+    # SRS point tables are precomputed up to this size (above it, table
+    # memory - rounds * 2n * 144B - outgrows the win; 2^18 ~ 760MB)
+    _PRECOMP_MAX_N = 1 << 18
+    _PRECOMP_MIN_N = 1 << 10
+
+    def _precomputed_table(self):
+        """Per-round SRS point table (single-chip path): commitments then
+        cost ONE sort+segment-scan pass each, no per-round sorts/doublings
+        (the reference likewise expands its SRS into a point table at load,
+        reference_string.cpp:22-23)."""
+        if self.mesh is not None or not (
+            self._PRECOMP_MIN_N <= self.n <= self._PRECOMP_MAX_N
+        ):
+            return None
+        return self.reference_string.pippenger_table(self.n)
+
     def commit(self, coeffs: jnp.ndarray) -> tuple:
         """MSM against the SRS monomials -> host affine point."""
         if self.mesh is not None:
@@ -349,7 +366,13 @@ class Prover:
 
             res = sharded_msm(coeffs, self.monomials, self.mesh)
         else:
-            res = msm(coeffs, self.monomials)
+            table = self._precomputed_table()
+            if table is not None:
+                from ..msm.pippenger import pippenger_precomputed
+
+                res = pippenger_precomputed(coeffs, table)
+            else:
+                res = msm(coeffs, self.monomials)
         aff = g1.batch_normalize(res)
         return (fq.decode(aff.x)[0], fq.decode(aff.y)[0])
 
@@ -364,9 +387,21 @@ class Prover:
             stacked = jnp.stack(coeffs_list, axis=1)  # (18, B, n)
             res = sharded_msm_batched(stacked, self.monomials, self.mesh)
         else:
-            from ..msm import batched_msm
+            table = self._precomputed_table()
+            if table is not None:
+                from ..msm.pippenger import pippenger_precomputed
 
-            res = batched_msm(coeffs_list, self.monomials)
+                outs = [pippenger_precomputed(s, table) for s in coeffs_list]
+                res = JacobianPoints(
+                    jnp.concatenate([o.x for o in outs], axis=1),
+                    jnp.concatenate([o.y for o in outs], axis=1),
+                    jnp.concatenate([o.z for o in outs], axis=1),
+                    jnp.concatenate([o.inf for o in outs], axis=0),
+                )
+            else:
+                from ..msm import batched_msm
+
+                res = batched_msm(coeffs_list, self.monomials)
         aff = g1.batch_normalize(res)
         xs = fq.decode(aff.x)
         ys = fq.decode(aff.y)

@@ -54,6 +54,23 @@ class ReferenceString:
         self.monomials = monomials
         self.g2_x = g2_x
         self.degree = degree
+        self._pip_tables: dict = {}
+
+    def pippenger_table(self, n: int):
+        """Per-round shifted point table for the first n monomials, built
+        once and cached (the analog of the reference expanding its SRS into
+        a Pippenger point table at load, reference_string.cpp:22-23 +
+        pippenger_precomputed's tables, scalar_multiplication.cpp:478-573).
+        Commitments against a fixed SRS then need ONE sort+segment-scan
+        pass - no per-round sorts and no accumulator doublings."""
+        tab = self._pip_tables.get(n)
+        if tab is None:
+            from ..msm.pippenger import generate_pippenger_point_table
+
+            pts = g1.take_affine(self.monomials, jnp.arange(n))
+            tab = generate_pippenger_point_table(pts)
+            self._pip_tables[n] = tab
+        return tab
 
     # -- constructors -------------------------------------------------------
     @staticmethod

@@ -33,9 +33,9 @@ def compute_permutation_lagrange_base(
 
     k1 = fr.params.multiplicative_generator
     k2 = fr.params.alternate_multiplicative_generator
-    # Per-lane coset shift: 1, k1 or k2 (values).
-    shift_vals = np.ones(mapping.shape[0], dtype=object)
-    shift_vals[col == 1] = k1
-    shift_vals[col == 2] = k2
-    shifts = fr.encode(list(shift_vals))
+    # Per-lane coset shift: 1, k1 or k2 - one gather from a 3-entry device
+    # table (a host-side bigint encode of all n shift values cost ~0.2s per
+    # sigma at 2^14)
+    shift_table = fr.encode([1, k1, k2])  # (18, 3)
+    shifts = jnp.take(shift_table, jnp.asarray(col), axis=1)
     return fr.mont_mul(sigma, shifts)

@@ -27,6 +27,12 @@ def compute_permutation_lagrange_base(
     mapping = np.asarray(mapping, dtype=np.uint64)
     idx = (mapping & WIRE_MASK).astype(np.int32)
     col = (mapping >> 30).astype(np.int32)
+    # jnp.take clips out-of-range indices, which would silently map a
+    # malformed col==3 to the k2 shift; fail loudly on the host instead.
+    if not (col <= 2).all():
+        raise ValueError("malformed sigma mapping: wire column > 2")
+    if not (idx < domain.size).all():
+        raise ValueError("malformed sigma mapping: gate index out of range")
 
     roots = domain.root_vector()  # (18, n) table of w^k
     sigma = jnp.take(roots, jnp.asarray(idx), axis=1)

@@ -175,6 +175,15 @@ class EvaluationDomain:
             "bitrev2": bitrev(n2),
             "tmid": tmid,
         }
+        if any(
+            isinstance(leaf, jax.core.Tracer)
+            for leaf in jax.tree_util.tree_leaves(tables)
+        ):  # pragma: no cover - trace-safety guard
+            raise RuntimeError(
+                "bailey_tables built under a jit trace; call warm_tables "
+                "(or bailey_tables) eagerly first - caching tracers would "
+                "poison later calls"
+            )
         tables = jax.block_until_ready(tables)
         cache[inverse] = tables
         return tables

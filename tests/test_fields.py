@@ -188,3 +188,32 @@ class TestConsistency:
         r = F.add(r, r)
         r = F.add(r, A)
         assert F.decode(r) == F.decode(F.mont_mul(A, F.full(A.shape[1:], F.const(9))))
+
+
+class TestTpuRowProductBranch:
+    """The TPU-only row-accumulation formulation of the wide limb product
+    (the v5e miscompile workaround gating all >= 2^13 batches,
+    montgomery.py::_wide_product_cols) must stay equivalent to the skew
+    formulation the CPU suite normally exercises. Forcing the backend
+    probe to report 'tpu' (with Pallas disabled) runs the row branch on
+    CPU so a regression there cannot ship silently."""
+
+    def test_row_formulation_matches_skew(self, monkeypatch):
+        from barretenberg_tpu import config
+
+        rng = np.random.default_rng(77)
+        n = 1 << 13  # at/above the row-dispatch threshold
+        a = fr.random_elements(n, rng)
+        b = fr.random_elements(n, rng)
+        expect = np.asarray(fr.mont_mul(a, b))  # skew path (cpu, no pallas)
+        expect_scalar = np.asarray(fr.mont_mul(a, fr.encode([12345])))
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        config.set_use_pallas(False)
+        try:
+            got = np.asarray(fr.mont_mul(a, b))  # row-accumulation path
+            got_scalar = np.asarray(fr.mont_mul(a, fr.encode([12345])))
+        finally:
+            config.set_use_pallas(None)
+        np.testing.assert_array_equal(got, expect)
+        np.testing.assert_array_equal(got_scalar, expect_scalar)

@@ -202,6 +202,14 @@ class EvaluationDomain:
         if coset:
             self.coset_scale
             self.coset_scale_inverse
+        # The Bailey two-level path (polynomials/fft.py::_use_bailey) kicks
+        # in at size >= 2^14 on TPU; its tables MUST exist before any jitted
+        # prover phase calls _fft_core under trace, or the trace-time build
+        # would cache tracers (bailey_tables now refuses to).
+        from .fft import _use_bailey
+
+        if _use_bailey(self):
+            self.bailey_tables(inverse)
 
     def coset_root_vector(self) -> jnp.ndarray:
         """(18, n) table of g * omega^k (the coset evaluation points)."""

@@ -194,6 +194,8 @@ class Field:
     # ------------------------------------------------------------------
     def add(self, a, b):
         a, b = self._materialize_broadcast(a, b)
+        if a.ndim > 2:
+            return self._flat2d(self.add, a, b)
         if self._pallas_ok(a) and b.shape == a.shape:
             from ..kernels import field_kernels
 
@@ -214,6 +216,8 @@ class Field:
 
     def sub(self, a, b):
         a, b = self._materialize_broadcast(a, b)
+        if a.ndim > 2:
+            return self._flat2d(self.sub, a, b)
         if self._pallas_ok(a) and b.shape == a.shape:
             from ..kernels import field_kernels
 
@@ -224,6 +228,8 @@ class Field:
         return jnp.where(underflow[None], e, d)
 
     def neg(self, a):
+        if a.ndim > 2:
+            return self._flat2d(self.neg, a)
         p = self.full(a.shape[1:], self.modulus_limbs)
         d, _ = self._borrow_sub(p, a)
         return self._cond_sub_p(d)  # maps a=0 -> p -> 0
@@ -379,6 +385,24 @@ class Field:
         )
 
     @staticmethod
+    def _flat2d(op, a, b=None):
+        """Run op on batch-flattened (L, prod(batch)) views, restore shape.
+
+        XLA:TPU v5e miscompiles fused field ops on multi-axis batches at
+        large sizes (observed: neg on (18, 14, 65536) produced wrong values
+        on ~all lanes inside the precomputed-MSM prep graph while the same
+        data as (18, 917504) was correct - the same defect class as the
+        wide-product and broadcast-mul miscompiles worked around elsewhere
+        in this file). Every validated hot path is 2-D, so all public ops
+        canonicalize; this also routes multi-axis batches onto the Pallas
+        kernels, which require 2-D."""
+        shape = a.shape
+        flat_a = a.reshape(shape[0], -1)
+        if b is None:
+            return op(flat_a).reshape(shape)
+        return op(flat_a, b.reshape(shape[0], -1)).reshape(shape)
+
+    @staticmethod
     def _materialize_broadcast(a, b):
         """Broadcast operands to a common batch shape and MATERIALIZE the
         expansion behind an optimization barrier.
@@ -406,6 +430,8 @@ class Field:
         (T + m*p) / 2^270, conditional subtract.
         """
         a, b = self._materialize_broadcast(a, b)
+        if a.ndim > 2:
+            return self._flat2d(self.mont_mul, a, b)
         if self._pallas_ok(a) and b.shape == a.shape:
             from ..kernels import field_kernels
 

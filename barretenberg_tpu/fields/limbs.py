@@ -39,25 +39,51 @@ def limbs_to_int(limbs) -> int:
 
 
 def ints_to_limbs(values: Sequence[int]) -> np.ndarray:
-    """Batch of integers -> (NUM_LIMBS, N) uint32 limbs."""
-    out = np.empty((NUM_LIMBS, len(values)), dtype=np.uint32)
-    for j, v in enumerate(values):
-        v = int(v)
-        for i in range(NUM_LIMBS):
-            out[i, j] = v & LIMB_MASK
-            v >>= LIMB_BITS
-        if v:
-            raise ValueError("value does not fit in 270 bits")
-    return out
+    """Batch of integers -> (NUM_LIMBS, N) uint32 limbs (vectorized: the
+    per-element Python limb loop cost minutes at SRS/prover scale)."""
+    n = len(values)
+    if n == 0:
+        return np.empty((NUM_LIMBS, 0), dtype=np.uint32)
+    try:
+        buf = b"".join(int(v).to_bytes(34, "little") for v in values)
+    except OverflowError as e:
+        raise ValueError("value does not fit in 270 bits") from e
+    a = np.frombuffer(buf, dtype=np.uint8).reshape(n, 34)
+    bits = np.unpackbits(a, axis=1, bitorder="little")  # (n, 272)
+    if bits[:, NUM_LIMBS * LIMB_BITS :].any():
+        raise ValueError("value does not fit in 270 bits")
+    weights = (1 << np.arange(LIMB_BITS, dtype=np.uint32)).astype(np.uint32)
+    limbs = (
+        bits[:, : NUM_LIMBS * LIMB_BITS]
+        .reshape(n, NUM_LIMBS, LIMB_BITS)
+        .astype(np.uint32)
+        @ weights
+    )
+    return np.ascontiguousarray(limbs.T.astype(np.uint32))
 
 
 def limbs_to_ints(limbs) -> list[int]:
-    """(NUM_LIMBS, N) limb array -> list of N integers."""
-    arr = np.asarray(limbs, dtype=np.uint64)
-    arr = arr.reshape(NUM_LIMBS, -1)
-    n = arr.shape[1]
+    """(NUM_LIMBS, N) limb array -> list of N integers. Canonical 15-bit
+    limbs take a vectorized bit-pack path; relaxed/overflowed limbs fall
+    back to the exact per-element sum."""
+    arr = np.asarray(limbs)
+    arr2 = arr.reshape(NUM_LIMBS, -1)
+    n = arr2.shape[1]
+    if arr2.size and (arr2 < (1 << LIMB_BITS)).all():
+        cols = arr2.T.astype(np.uint32)  # (n, NUM_LIMBS)
+        bits = ((cols[:, :, None] >> np.arange(LIMB_BITS)) & 1).astype(np.uint8)
+        flat = bits.reshape(n, NUM_LIMBS * LIMB_BITS)
+        flat = np.concatenate(
+            [flat, np.zeros((n, 2), dtype=np.uint8)], axis=1
+        )  # pad 270 -> 272 bits
+        packed = np.packbits(flat, axis=1, bitorder="little")  # (n, 34)
+        raw = packed.tobytes()
+        return [
+            int.from_bytes(raw[j * 34 : (j + 1) * 34], "little") for j in range(n)
+        ]
+    arr64 = arr2.astype(np.uint64)
     return [
-        sum(int(arr[i, j]) << (LIMB_BITS * i) for i in range(NUM_LIMBS))
+        sum(int(arr64[i, j]) << (LIMB_BITS * i) for i in range(NUM_LIMBS))
         for j in range(n)
     ]
 

@@ -19,19 +19,72 @@ from .group import AffinePoints, Curve, JacobianPoints
 g1 = Curve(fq, b_value=3, generator_xy=(1, 2))
 
 
+import jax as _jax
+
+
+@_jax.jit
+def _hash_to_curve_jit(xs: jnp.ndarray):
+    """Candidate x's (18, m) -> (y, ok): y = sqrt(x^3 + b) via one batched
+    pow chain (q = 3 mod 4), ok where x^3 + b is a quadratic residue."""
+    yy = fq.add(fq.mont_mul(fq.sqr(xs), xs), fq.full(xs.shape[1:], fq.const(3)))
+    y = fq.sqrt(yy)
+    ok = fq.eq(fq.sqr(y), yy)
+    return y, ok
+
+
+def _x_candidate(seed: bytes, lane: int, attempt: int) -> int:
+    from ..transcript.keccak import keccak256
+
+    h = keccak256(
+        seed + lane.to_bytes(8, "little") + attempt.to_bytes(4, "little")
+    )
+    return int.from_bytes(h, "big") % fq.p
+
+
+def hash_to_curve(seed: bytes, n: int = 1, attempts: int = 8) -> AffinePoints:
+    """Deterministic hash-to-curve for n G1 points (the reference's
+    random_coordinates_on_curve rejection walk, groups/group.hpp:49-71,
+    enabled by can_hash_to_curve, g1.hpp:12): x candidates are
+    keccak256(seed || lane || attempt) mod q; each lane takes its first x
+    with x^3 + b a quadratic residue and y = sqrt(x^3 + b). The QR test
+    and square root run BATCHED on device (one pow-chain dispatch for all
+    n * attempts candidates) instead of the reference's per-point loop;
+    lanes that miss `attempts` times (p ~ 2^-attempts) finish on host."""
+    cand = [
+        _x_candidate(seed, lane, j) for lane in range(n) for j in range(attempts)
+    ]
+    xs = fq.encode(cand)
+    y, ok = _hash_to_curve_jit(xs)
+    okh = np.asarray(ok).reshape(n, attempts)
+    first = np.argmax(okh, axis=1)  # first accepting attempt per lane
+    cols = jnp.asarray(np.arange(n) * attempts + first)
+    x_sel = jnp.take(xs, cols, axis=1)
+    y_sel = jnp.take(y, cols, axis=1)
+    misses = np.nonzero(~okh.any(axis=1))[0]
+    if len(misses):  # host completion of the rare exhausted lanes
+        fix_x, fix_y = [], []
+        for lane in misses:
+            j = attempts
+            while True:
+                x = _x_candidate(seed, int(lane), j)
+                yy = (x * x % fq.p * x + 3) % fq.p
+                yv = pow(yy, (fq.p + 1) // 4, fq.p)
+                if yv * yv % fq.p == yy:
+                    fix_x.append(x)
+                    fix_y.append(yv)
+                    break
+                j += 1
+        midx = jnp.asarray(misses)
+        x_sel = x_sel.at[:, midx].set(fq.encode(fix_x))
+        y_sel = y_sel.at[:, midx].set(fq.encode(fix_y))
+    return AffinePoints(x_sel, y_sel, jnp.zeros(n, dtype=bool))
+
+
 def random_affine_points(n: int, rng: np.random.Generator) -> AffinePoints:
-    """Seeded random on-curve affine points: random multiples of the
-    generator computed on host (oracle-grade; reference's hash-to-curve
-    random_element is groups/group.hpp:73-114)."""
-    xs, ys = [], []
-    for _ in range(n):
-        k = int.from_bytes(rng.bytes(32), "little") % fr.p
-        if k == 0:
-            k = 1
-        pt = host_curve.g1_mul(host_curve.G1_GENERATOR, k)
-        xs.append(pt[0])
-        ys.append(pt[1])
-    return AffinePoints(fq.encode(xs), fq.encode(ys), jnp.zeros(n, dtype=bool))
+    """Seeded random on-curve affine points via the device hash-to-curve
+    walk (the reference's random_affine_element, groups/group.hpp:99-114,
+    which hashes to the curve when can_hash_to_curve)."""
+    return hash_to_curve(rng.bytes(32), n)
 
 
 def points_to_host(p: AffinePoints) -> list:
@@ -61,9 +114,6 @@ def scalars_to_bits_msb(scalars: list, nbits: int = 254) -> jnp.ndarray:
     ).reshape(n, 32)
     bits = np.unpackbits(buf, axis=1)  # (N, 256) MSB-first
     return jnp.asarray(bits[:, 256 - nbits :].T.astype(np.uint32))
-
-
-import jax as _jax
 
 
 @_jax.jit

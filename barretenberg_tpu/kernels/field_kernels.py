@@ -19,7 +19,8 @@ from ..fields.params import NUM_LIMBS, FieldParams
 from .limb_ops import LimbField
 
 L = NUM_LIMBS
-TILE = 1024  # lanes per grid step (8 sublanes x 128 lanes of uint32)
+TILE = 2048  # lanes per grid step; measured best of {512,1024,2048,4096}
+# on v5e for the fused mont_mul body (458 vs 415 Mops/s at 1024)
 
 
 def _rows(ref):

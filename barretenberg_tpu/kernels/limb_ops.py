@@ -23,6 +23,10 @@ L = NUM_LIMBS
 MASK = LIMB_MASK  # python int: jnp weak-types it, avoids captured consts in pallas
 
 
+H = L // 2  # Karatsuba split point (9 limbs = 135 bits, limb-aligned)
+BIAS = 1 << 20  # per-column bias making the z1 subtraction non-negative
+
+
 class LimbField:
     """Field ops on lists of 18 limb rows (canonical form in/out)."""
 
@@ -33,6 +37,29 @@ class LimbField:
         self.np_limbs = [int(v) for v in int_to_limbs(params.nprime_int)]
         self.one_limbs = [
             int(v) for v in int_to_limbs(params.r_int % self.p)
+        ]
+        # --- Karatsuba bias bookkeeping (see _wide_cols_karatsuba) -------
+        # C = value added to a product by biasing its z1 columns
+        self._bias_value = BIAS * sum(
+            1 << (LIMB_BITS * (k + H)) for k in range(2 * (H + 1))
+        )
+        # both the a*b and m*p products are biased; m absorbs the m*p bias
+        # via the constant K below so divisibility by 2^270 is preserved,
+        # and the final result is corrected by E = -(2C)/2^270 mod p
+        r_internal = 1 << 270
+        c2 = self._bias_value
+        self._k_limbs = [
+            int(v)
+            for v in int_to_limbs((-c2 * pow(self.p, -1, r_internal)) % r_internal)
+        ]
+        corr = (-(2 * self._bias_value) * pow(r_internal, -1, self.p)) % self.p
+        self._corr_limbs = [int(v) for v in int_to_limbs(corr)]
+        # normalized 10-limb halves-sum of p (for the constant Karatsuba)
+        p_lo = self.p % (1 << (LIMB_BITS * H))
+        p_hi = self.p >> (LIMB_BITS * H)
+        sp = p_lo + p_hi
+        self._p_sum_limbs = [
+            (sp >> (LIMB_BITS * i)) & LIMB_MASK for i in range(H + 1)
         ]
 
     # -- helpers --------------------------------------------------------
@@ -50,6 +77,137 @@ class LimbField:
         return [one * self._u(int(v)) for v in limbs]
 
     # -- core multiplication -------------------------------------------
+    @staticmethod
+    def _school_cols(a, b, base: int = 0, cols=None):
+        """Grouped schoolbook columns of a*b accumulated into `cols` at
+        offset `base`. Up to THREE raw 32-bit products sum exactly in
+        uint32 (3 * (2^15 + 2^7)^2 < 2^32), so each group costs one
+        mask+shift+2 accumulates instead of three - the main op-count
+        lever over the naive per-product split."""
+        La, Lb = len(a), len(b)
+        if cols is None:
+            cols = [None] * (base + La + Lb)
+
+        def acc(k, v):
+            cols[k] = v if cols[k] is None else cols[k] + v
+
+        for k in range(La + Lb - 1):
+            lo = max(0, k - Lb + 1)
+            hi = min(La, k + 1)
+            group = None
+            cnt = 0
+            for i in range(lo, hi):
+                prod = a[i] * b[k - i]
+                group = prod if group is None else group + prod
+                cnt += 1
+                if cnt == 3:
+                    acc(base + k, group & MASK)
+                    acc(base + k + 1, group >> LIMB_BITS)
+                    group = None
+                    cnt = 0
+            if group is not None:
+                acc(base + k, group & MASK)
+                acc(base + k + 1, group >> LIMB_BITS)
+        return cols
+
+    @staticmethod
+    def _school_cols_const(a, c_limbs, base: int = 0, cols=None):
+        """Grouped schoolbook columns of a * c for a host constant limb
+        list (zero limbs skipped at trace time)."""
+        La, Lc = len(a), len(c_limbs)
+        if cols is None:
+            cols = [None] * (base + La + Lc)
+
+        def acc(k, v):
+            cols[k] = v if cols[k] is None else cols[k] + v
+
+        for k in range(La + Lc - 1):
+            lo = max(0, k - Lc + 1)
+            hi = min(La, k + 1)
+            group = None
+            cnt = 0
+            for i in range(lo, hi):
+                cj = c_limbs[k - i]
+                if cj == 0:
+                    continue
+                prod = a[i] * jnp.uint32(cj)
+                group = prod if group is None else group + prod
+                cnt += 1
+                if cnt == 3:
+                    acc(base + k, group & MASK)
+                    acc(base + k + 1, group >> LIMB_BITS)
+                    group = None
+                    cnt = 0
+            if group is not None:
+                acc(base + k, group & MASK)
+                acc(base + k + 1, group >> LIMB_BITS)
+        return cols
+
+    @staticmethod
+    def _half_sum_norm(a):
+        """a0 + a1 (halves of an 18-row operand) carry-normalized to H+1
+        rows of strict 15-bit limbs (so Karatsuba mid products still pair
+        by three in uint32)."""
+        out = []
+        carry = None
+        for i in range(H):
+            v = a[i] + a[i + H]
+            if carry is not None:
+                v = v + carry
+            out.append(v & MASK)
+            carry = v >> LIMB_BITS
+        out.append(carry)
+        return out
+
+    @classmethod
+    def _biased_combine(cls, z0, z2, z1s):
+        """Assemble the 37 Karatsuba columns of a*b + C:
+        out[k] = z0[k] + z2[k-2H] + (z1s + BIAS - z0 - z2)[k-H],
+        where the per-column BIAS keeps the z1 subtraction non-negative in
+        uint32 and adds the compile-time constant C (corrected after the
+        Montgomery reduction, see mont_mul)."""
+        out = [None] * (2 * L + 1)
+        for k in range(len(z0)):
+            if z0[k] is not None:
+                out[k] = z0[k] if out[k] is None else out[k] + z0[k]
+        for k in range(len(z2)):
+            if z2[k] is not None:
+                v = z2[k]
+                out[2 * H + k] = v if out[2 * H + k] is None else out[2 * H + k] + v
+        for j in range(2 * (H + 1)):
+            t = jnp.uint32(BIAS)
+            if j < len(z1s) and z1s[j] is not None:
+                t = t + z1s[j]
+            if j < len(z0) and z0[j] is not None:
+                t = t - z0[j]
+            if j < len(z2) and z2[j] is not None:
+                t = t - z2[j]
+            k = H + j
+            out[k] = t if out[k] is None else out[k] + t
+        z = jnp.zeros_like(out[0])
+        return [c if c is not None else z for c in out]
+
+    @classmethod
+    def _wide_cols_k(cls, a, b):
+        """37 carry-save columns of a*b + C via one-level Karatsuba
+        (split at 9 limbs = 135 bits): 81+81+100 products instead of 324.
+        The added constant C (bias columns) is corrected after reduction.
+        The analog of the reference's asm schoolbook mul
+        (field_impl_asm.tcc:169-182) restructured for VPU op count."""
+        z0 = cls._school_cols(a[:H], b[:H])
+        z2 = cls._school_cols(a[H:], b[H:])
+        z1s = cls._school_cols(cls._half_sum_norm(a), cls._half_sum_norm(b))
+        return cls._biased_combine(z0, z2, z1s)
+
+    def _wide_cols_k_p(self, m):
+        """37 columns of m*p + C (p = field modulus, host constant)."""
+        p_lo = self.p_limbs[:H]
+        p_hi = self.p_limbs[H:]
+        z0 = self._school_cols_const(m[:H], p_lo)
+        z2 = self._school_cols_const(m[H:], p_hi)
+        z1s = self._school_cols_const(self._half_sum_norm(m), self._p_sum_limbs)
+        return self._biased_combine(z0, z2, z1s)
+
     @staticmethod
     def _wide_cols(a, b):
         """37 carry-save columns of a*b; a, b lists of 18 limb rows."""
@@ -135,9 +293,17 @@ class LimbField:
         return [jnp.where(ge_p, d[i], r[i]) for i in range(L)]
 
     def mont_mul(self, a, b):
-        t = self._carry_pass(self._wide_cols(a, b))  # 38 relaxed limbs
-        m = self._carry_pass(self._low_cols_const(t[:L], self.np_limbs))[:L]
-        u = self._wide_cols_const(m, self.p_limbs)
+        # Karatsuba wide product: t = a*b + C in carry-save columns
+        t = self._carry_pass(self._wide_cols_k(a, b))  # 38 relaxed limbs
+        # m = -(t + C)*p^-1 mod 2^270: the constant K = -C*p^-1 absorbs the
+        # bias of the upcoming biased m*p product, keeping s = 0 mod 2^270
+        low = self._low_cols_const(t[:L], self.np_limbs)
+        low = [
+            low[i] + self._u(self._k_limbs[i]) if self._k_limbs[i] else low[i]
+            for i in range(L)
+        ]
+        m = self._carry_pass(low)[:L]
+        u = self._wide_cols_k_p(m)  # m*p + C
         s = [u[k] + t[k] for k in range(2 * L)] + [t[2 * L]]
         carry = jnp.zeros_like(s[0])
         for i in range(L):
@@ -151,7 +317,16 @@ class LimbField:
             v = (hi[i] if i < len(hi) else jnp.zeros_like(c2)) + c2
             out.append(v & MASK)
             c2 = v >> LIMB_BITS
-        return self._cond_sub_p(out)
+        r = self._cond_sub_p(out)
+        # bias correction: both products were biased by C, so the reduced
+        # value is off by 2C/2^270; add E = -(2C)/2^270 mod p and renormalize
+        out2 = []
+        c3 = jnp.zeros_like(c2)
+        for i in range(L):
+            v = r[i] + self._u(self._corr_limbs[i]) + c3
+            out2.append(v & MASK)
+            c3 = v >> LIMB_BITS
+        return self._cond_sub_p(out2)
 
     def sqr(self, a):
         return self.mont_mul(a, a)

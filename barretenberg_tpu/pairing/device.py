@@ -274,21 +274,80 @@ def pairing_check_groups(groups) -> list[bool]:
     return [ht.fq12_eq_one(r) for r in results]
 
 
+def srs_on_curve_all(srs) -> bool:
+    """y^2 == x^3 + 3 for EVERY monomial, one elementwise device sweep
+    (test_io.cpp:12 checks all loaded points on-curve)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..fields import fq
+
+    @jax.jit
+    def _chk(x, y):
+        lhs = fq.sqr(y)
+        rhs = fq.add(
+            fq.mont_mul(fq.sqr(x), x), fq.full(x.shape[1:], fq.const(3))
+        )
+        return jnp.all(lhs == rhs)
+
+    mono = srs.monomials
+    return bool(_chk(mono.x, mono.y))
+
+
+def validate_srs_rlc(srs, seed: int = 0xC0FFEE) -> bool:
+    """Full-coverage SRS consistency via one random linear combination:
+    e(-sum_i r_i [tau^i]G, [tau]G2) * e(sum_i r_i [tau^(i+1)]G, G2) == 1
+    holds for random r iff every adjacent pair is tau-consistent (up to
+    2^-254 soundness error). Two MSMs (reusing the compiled Pippenger
+    shape) + one 2-pairing product cover ALL degree indices - the
+    cryptographic scale-up of test_io.cpp:12's per-index pairing gate."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..fields import fr
+    from ..groups.g1 import g1, jacobian_to_host
+    from ..msm import msm
+    from ..utils import host_curve
+
+    d = srs.degree
+    rng = np.random.default_rng(seed)
+    r = fr.random_elements(d, rng)
+    zero = fr.zeros((1,))
+    r_lo = jnp.concatenate([r[:, : d - 1], zero], axis=1)  # r_i at i < d-1
+    r_hi = jnp.concatenate([zero, r[:, : d - 1]], axis=1)  # r_i at i+1
+    pts = g1.take_affine(srs.monomials, jnp.arange(d))
+    a = jacobian_to_host(msm(r_lo, pts))[0]
+    b = jacobian_to_host(msm(r_hi, pts))[0]
+    return pairing_check_groups(
+        [[(host_curve.g1_neg(a), srs.g2_x), (b, host_curve.G2_GENERATOR)]]
+    )[0]
+
+
 def validate_srs_device(srs, indices=None) -> bool:
     """Batched SRS consistency proof: e(-[tau^i]G, [tau]G2) *
     e([tau^(i+1)]G, G2) == 1 for every sampled i, all lanes in one device
     sweep (the scaled-up analog of test_io.cpp:12's pairing gate)."""
+    import jax.numpy as jnp
+
+    from ..groups.g1 import points_to_host
     from ..utils import host_curve
 
-    pts = srs.monomials_host()
     if indices is None:
         indices = range(srs.degree - 1)
+    indices = list(indices)
+    # decode only the sampled columns (a full monomials_host() at 2^20
+    # costs minutes of host bigint conversion)
+    cols = jnp.asarray(sorted({i for i in indices} | {i + 1 for i in indices}))
+    from ..groups.g1 import g1 as _g1
+
+    sampled = points_to_host(_g1.take_affine(srs.monomials, cols))
+    col_pos = {int(c): k for k, c in enumerate(cols.tolist())}
     groups = []
     for i in indices:
         groups.append(
             [
-                (host_curve.g1_neg(pts[i]), srs.g2_x),
-                (pts[i + 1], host_curve.G2_GENERATOR),
+                (host_curve.g1_neg(sampled[col_pos[i]]), srs.g2_x),
+                (sampled[col_pos[i + 1]], host_curve.G2_GENERATOR),
             ]
         )
     return all(pairing_check_groups(groups))

@@ -467,10 +467,19 @@ class Prover:
     # ------------------------------------------------------------------
     # Round 3: quotient
     # ------------------------------------------------------------------
+    # Above this size the monolithic fused quotient graph is split into
+    # per-transform jitted stages: the axon remote-compile helper fails
+    # (HTTP broken pipe / OOM) on the single 4n-wide fused graph at 2^22,
+    # and the staged graphs are individually cacheable - a dozen ~24ms
+    # dispatches cost nothing against a multi-second 2^20 quotient phase.
+    _STAGED_QUOTIENT_MIN_N = 1 << 17
+
     def compute_quotient_polynomial(self) -> None:
         """(prover.cpp:405-465)."""
         if self._mesh_fft_ok():
             return self._compute_quotient_polynomial_mesh()
+        if self.n >= self._STAGED_QUOTIENT_MIN_N:
+            return self._compute_quotient_polynomial_staged()
         st = self.state
         small, mid, large = st.small_domain, st.mid_domain, st.large_domain
         alpha = self.challenges.alpha
@@ -517,6 +526,61 @@ class Prover:
         st.quotient_large = _quotient_finalize_jit(
             st.quotient_mid, st.quotient_large, small, mid, large
         )
+
+    def _compute_quotient_polynomial_staged(self) -> None:
+        """Single-chip staged quotient phase: the same per-transform
+        decomposition as the mesh path (one jitted dispatch per FFT plus
+        the small fused algebra kernels), for sizes where the monolithic
+        graph breaks the remote compiler. Numerically identical to
+        _quotient_grand_product_jit + _quotient_finalize_jit."""
+        from ..polynomials import fft as _fft
+
+        st = self.state
+        small, mid, large = st.small_domain, st.mid_domain, st.large_domain
+        alpha = self.challenges.alpha
+        beta, gamma = self.challenges.beta, self.challenges.gamma
+        k1 = fr.params.multiplicative_generator
+        k2 = fr.params.alternate_multiplicative_generator
+        ch = {
+            "beta": enc(beta),
+            "gamma": enc(gamma),
+            "alpha": enc(alpha),
+            "alpha_sq": enc(alpha * alpha),
+            "bk1": enc(beta * k1),
+            "bk2": enc(beta * k2),
+        }
+        n = self.n
+
+        def pad4(c):
+            return CircuitState.pad(c, 4 * n)
+
+        st.w_l_fft = _fft.coset_fft(pad4(self.w_l), large)
+        st.w_r_fft = _fft.coset_fft(pad4(self.w_r), large)
+        st.w_o_fft = _fft.coset_fft(pad4(self.w_o), large)
+        z_fft = _scale_jit(_fft.coset_fft(pad4(self.z_poly), large), ch["alpha"])
+
+        s1_c = _scale_jit(_fft.ifft(self.sigma_1, small), ch["beta"])
+        s2_c = _scale_jit(_fft.ifft(self.sigma_2, small), ch["beta"])
+        s3_c = _scale_jit(_fft.ifft(self.sigma_3, small), ch["beta"])
+        self.sigma_1, self.sigma_2, self.sigma_3 = s1_c, s2_c, s3_c
+
+        f1 = _fft.coset_fft(pad4(_perm_factor_pre_jit(s1_c, self.w_l, ch["gamma"])), large)
+        f2 = _fft.coset_fft(pad4(_perm_factor_pre_jit(s2_c, self.w_r, ch["gamma"])), large)
+        f3 = _fft.coset_fft(pad4(_perm_factor_pre_jit(s3_c, self.w_o, ch["gamma"])), large)
+        st.quotient_large = _quotient_combine_jit(
+            f1, f2, f3, z_fft, st.w_l_fft, st.w_r_fft, st.w_o_fft, ch, large
+        )
+        st.quotient_mid = _boundary_mid_jit(z_fft, ch, small, mid)
+
+        alpha_base = pow(alpha, 4, P)
+        for w in self.widgets:
+            alpha_base = w.compute_quotient_contribution(alpha_base, alpha, st)
+
+        qm = _vanish_jit(st.quotient_mid, small, mid)
+        ql = _vanish_jit(st.quotient_large, small, large)
+        qm = _fft.coset_ifft(qm, mid)
+        ql = _fft.coset_ifft(ql, large)
+        st.quotient_large = _combine_quotients_jit(qm, ql)
 
     def _compute_quotient_polynomial_mesh(self) -> None:
         """Mesh path of the quotient phase: every n/2n/4n transform routed
@@ -775,7 +839,14 @@ class Prover:
             import time as _time
 
             t0 = _time.perf_counter()
-            fn()
+            try:
+                fn()
+            except Exception as e:  # transient remote-compile drops: retry once
+                msg = str(e)
+                if "remote_compile" not in msg and "Network Error" not in msg:
+                    raise
+                _time.sleep(5.0)
+                fn()
             if timings is not None:
                 if probe is not None:
                     arr = probe()

@@ -212,10 +212,11 @@ def bench_prove(log_n: int, details: dict):
     n = 1 << log_n
     srs = get_srs(n)
     prover = build_fixture_prover(n, srs=srs)
+    cold_timings: dict = {}
     t0 = time.perf_counter()
-    prover.construct_proof()
+    prover.construct_proof(timings=cold_timings)
     cold = time.perf_counter() - t0
-    _log(f"prove 2^{log_n} cold {cold:.1f}s")
+    _log(f"prove 2^{log_n} cold {cold:.1f}s phases {cold_timings}")
     prover = build_fixture_prover(n, srs=srs)
     timings: dict = {}
     t0 = time.perf_counter()
@@ -236,6 +237,7 @@ def bench_prove(log_n: int, details: dict):
         "verify_s": verify_s,
         "verified": bool(ok),
         "phases_s": timings,
+        "cold_phases_s": cold_timings,
     })
 
 
@@ -314,6 +316,67 @@ def bench_mimc(details: dict):
     _bench_circuit("mimc", build, details)
 
 
+def bench_extended(details: dict, length: int = 5000):
+    """ExtendedComposer merged-gate circuit prove/verify at bench scale -
+    the q_oo / Sequential-widget path on hardware (reference
+    test_extended_composer.cpp:29-380 e2e pattern + composer benches)."""
+    from barretenberg_tpu.composer import ExtendedComposer
+    from barretenberg_tpu.stdlib import field_t, witness_t
+
+    def build():
+        ctx = ExtendedComposer()
+        acc = field_t.from_witness(witness_t(ctx, 1))
+        total = 1
+        for i in range(length):
+            v = i + 2
+            acc = acc + field_t.from_witness(witness_t(ctx, v))
+            total += v
+        acc.assert_equal(field_t(ctx, value=total))
+        ctx.create_dummy_gates()
+        return ctx, {"chain_length": length}
+
+    _bench_circuit("extended", build, details)
+
+
+def bench_srs_check(log_n: int, details: dict, sample: int = 2048):
+    """SRS validation at scale (reference test_io.cpp:12 loads 100k points,
+    checks on-curve + tau-pairing consistency): (a) device on-curve sweep
+    over ALL monomials, (b) a full-coverage random-linear-combination
+    pairing gate (2 MSMs + 2 pairings cover every index), (c) a sampled
+    per-index pairing gate."""
+    import numpy as np
+
+    from barretenberg_tpu.pairing.device import (
+        srs_on_curve_all,
+        validate_srs_device,
+        validate_srs_rlc,
+    )
+
+    n = 1 << log_n
+    srs = get_srs(n)
+    t0 = time.perf_counter()
+    on_curve = srs_on_curve_all(srs)
+    t_curve = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rlc = validate_srs_rlc(srs)
+    t_rlc = time.perf_counter() - t0
+    rng = np.random.default_rng(99)
+    idx = sorted(rng.choice(n - 1, size=min(sample, n - 1), replace=False).tolist())
+    t0 = time.perf_counter()
+    sampled = validate_srs_device(srs, idx)
+    t_sample = time.perf_counter() - t0
+    _record(details, f"srs_check_2e{log_n}", {
+        "n": n,
+        "on_curve_all": bool(on_curve),
+        "on_curve_s": t_curve,
+        "rlc_full_coverage": bool(rlc),
+        "rlc_s": t_rlc,
+        "pairing_sample_indices": len(idx),
+        "pairing_sample_ok": bool(sampled),
+        "pairing_sample_s": t_sample,
+    })
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small sizes only")
@@ -322,6 +385,14 @@ def main():
     ap.add_argument("--prove-log-n", type=int, default=None)
     ap.add_argument("--sha256", action="store_true", help="include SHA256 circuit prove")
     ap.add_argument("--mimc", action="store_true", help="include MiMC circuit prove")
+    ap.add_argument(
+        "--extended", action="store_true",
+        help="include ExtendedComposer merged-gate circuit prove",
+    )
+    ap.add_argument(
+        "--srs-check", action="store_true",
+        help="include SRS on-curve + pairing-consistency validation",
+    )
     ap.add_argument(
         "--profile",
         metavar="DIR",
@@ -382,6 +453,10 @@ def main():
         bench_sha256(details)
     if args.mimc and _remaining() > 60:
         bench_mimc(details)
+    if args.extended and _remaining() > 60:
+        bench_extended(details)
+    if args.srs_check and _remaining() > 60:
+        bench_srs_check(msm_log, details)
     _log(f"all axes done at t+{time.time() - _T0:.1f}s")
 
 

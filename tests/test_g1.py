@@ -202,3 +202,31 @@ class TestWindowedScalarMul:
 
         r = scalar_mul_glv(g1.affine_infinity((2,)), fr.encode([5, 7]))
         assert bool(r.inf.all())
+
+
+class TestHashToCurve:
+    """Device hash-to-curve (reference groups/group.hpp:49-71 rejection
+    walk + can_hash_to_curve, g1.hpp:12)."""
+
+    def test_on_curve_and_deterministic(self):
+        from barretenberg_tpu.groups.g1 import hash_to_curve
+        from barretenberg_tpu.utils import host_curve
+
+        pts = hash_to_curve(b"kat-seed", 16, attempts=4)
+        xs, ys = fq.decode(pts.x), fq.decode(pts.y)
+        assert all(host_curve.g1_is_on_curve(p) for p in zip(xs, ys))
+        again = hash_to_curve(b"kat-seed", 16, attempts=4)
+        assert fq.decode(again.x) == xs and fq.decode(again.y) == ys
+
+    def test_matches_host_rejection_walk(self):
+        # KAT pinned from the host bigint walk (keccak candidates, first
+        # QR x, y = (x^3+3)^((q+1)/4))
+        from barretenberg_tpu.groups.g1 import hash_to_curve
+
+        pts = hash_to_curve(b"kat-seed", 1)
+        assert fq.decode(pts.x)[0] == (
+            0x2C18C36213674232FA0639643913CD5DFF4D3F08C434432DB4D11BCE58BDDDBA
+        )
+        assert fq.decode(pts.y)[0] == (
+            0x0AD722A88ED54726ECAE4398297497A01F004BB90EE73ED7960345A221DDBD73
+        )

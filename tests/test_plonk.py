@@ -207,3 +207,12 @@ def test_tampered_proof_rejected():
     proof = prover.construct_proof()
     proof.w_l_eval = (proof.w_l_eval + 1) % P
     assert not verifier.verify_proof(proof)
+
+
+def test_staged_quotient_path_bit_identical(monkeypatch):
+    """The staged (per-transform) quotient phase used at n >= 2^17 on TPU
+    must produce byte-identical proofs to the monolithic fused graph."""
+    base = build_fixture_prover(16, seed=7).construct_proof().serialize()
+    monkeypatch.setattr(Prover, "_STAGED_QUOTIENT_MIN_N", 1)
+    staged = build_fixture_prover(16, seed=7).construct_proof().serialize()
+    assert staged == base

@@ -14,9 +14,11 @@
 
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 
 #include "barretenberg/waffle/proof_system/prover/prover.hpp"
 #include "barretenberg/waffle/proof_system/widgets/arithmetic_widget.hpp"
+#include "barretenberg/waffle/proof_system/widgets/bool_widget.hpp"
 
 using namespace barretenberg;
 
@@ -72,9 +74,11 @@ void print_point(const g1::affine_element& pt)
 
 } // namespace
 
-int main()
+int main(int argc, char** argv)
 {
-    const size_t n = 16;
+    // argv: [n] [with_bool01] - defaults keep the original n=16 fixture
+    const size_t n = argc > 1 ? (size_t)atoi(argv[1]) : 16;
+    const bool with_bool = argc > 2 && atoi(argv[2]) != 0;
     waffle::Prover state(n);
     auto widget = std::make_unique<waffle::ProverArithmeticWidget>(n);
 
@@ -147,6 +151,19 @@ int main()
     fr::__copy(fr::zero, widget->q_m.at(n - 1));
 
     state.widgets.emplace_back(std::move(widget));
+
+    if (with_bool) {
+        // deterministic booleanity selectors (twin of run_crosscheck.py);
+        // the byte-for-byte proof comparison does not require the circuit
+        // to be satisfiable, only that both provers see identical inputs
+        auto bool_widget = std::make_unique<waffle::ProverBoolWidget>(n);
+        for (size_t i = 0; i < n; ++i) {
+            bool_widget->q_bl.at(i) = (i % 3 == 0) ? fr::one : fr::zero;
+            bool_widget->q_br.at(i) = (i % 5 == 0) ? fr::one : fr::zero;
+            bool_widget->q_bo.at(i) = (i % 7 == 0) ? fr::one : fr::zero;
+        }
+        state.widgets.emplace_back(std::move(bool_widget));
+    }
 
     waffle::plonk_proof proof = state.construct_proof();
 

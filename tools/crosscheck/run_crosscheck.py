@@ -36,13 +36,16 @@ def _splitmix_stream(state: int):
         yield z ^ (z >> 31)
 
 
-def _build_twin_prover(srs):
+def _build_twin_prover(srs, n=N, with_bool=False):
     """The Python twin of fixture.cpp's circuit."""
     import numpy as np
 
     from barretenberg_tpu.fields import fr
     from barretenberg_tpu.plonk import Prover
-    from barretenberg_tpu.plonk.widgets import ProverArithmeticWidget
+    from barretenberg_tpu.plonk.widgets import (
+        ProverArithmeticWidget,
+        ProverBoolWidget,
+    )
 
     P = fr.p
     gen = _splitmix_stream(0x5EED5EED5EED5EED)
@@ -52,7 +55,6 @@ def _build_twin_prover(srs):
         w[3] &= 0x1FFFFFFFFFFFFFFF
         return w[0] | (w[1] << 64) | (w[2] << 128) | (w[3] << 192)
 
-    n = N
     w_l = [0] * n
     w_r = [0] * n
     w_o = [0] * n
@@ -108,6 +110,13 @@ def _build_twin_prover(srs):
             fr.encode(q_o), fr.encode(q_c),
         )
     )
+    if with_bool:
+        q_bl = [1 if i % 3 == 0 else 0 for i in range(n)]
+        q_br = [1 if i % 5 == 0 else 0 for i in range(n)]
+        q_bo = [1 if i % 7 == 0 else 0 for i in range(n)]
+        prover.widgets.append(
+            ProverBoolWidget(fr.encode(q_bl), fr.encode(q_br), fr.encode(q_bo))
+        )
     return prover
 
 
@@ -119,6 +128,7 @@ REF_SOURCES = [
     "polynomials/polynomial.cpp",
     "waffle/reference_string/reference_string.cpp",
     "waffle/proof_system/widgets/arithmetic_widget.cpp",
+    "waffle/proof_system/widgets/bool_widget.cpp",
     "waffle/proof_system/prover/prover.cpp",
 ]
 REF_C_SOURCES = ["keccak/keccakf1600.c", "keccak/keccak.c"]
@@ -161,6 +171,10 @@ def build_reference_fixture(transcript_path: str) -> str:
 
 
 def main() -> int:
+    import hashlib
+    import json
+    import time
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -169,32 +183,62 @@ def main() -> int:
 
     from barretenberg_tpu.srs import ReferenceString, test_srs
 
-    srs = test_srs(N)
+    max_n = 256
+    srs = test_srs(max_n)
     transcript = os.path.join(HERE, "transcript.dat")
     ReferenceString.save(transcript, srs.monomials_host()[1:], srs.g2_x)
 
     print("[crosscheck] building reference C++ prover (int128 path)...")
     binary = build_reference_fixture(transcript)
-    ref_hex = subprocess.run(
-        [binary], check=True, capture_output=True, text=True
+    with open(binary, "rb") as f:
+        binary_sha = hashlib.sha256(f.read()).hexdigest()
+    head = subprocess.run(
+        ["git", "-C", REPO, "rev-parse", "HEAD"], capture_output=True, text=True
     ).stdout.strip()
 
-    print("[crosscheck] running barretenberg_tpu prover on the twin circuit...")
-    prover = _build_twin_prover(srs)
-    ours_hex = prover.construct_proof().serialize().hex()
-
-    if ref_hex == ours_hex:
-        print(f"PROOFS IDENTICAL ({len(ours_hex) // 2} bytes)")
-        return 0
-    print("MISMATCH")
-    print("reference:", ref_hex)
-    print("ours     :", ours_hex)
-    # locate the first differing 32-byte element for debugging
-    for k in range(0, min(len(ref_hex), len(ours_hex)), 64):
-        if ref_hex[k : k + 64] != ours_hex[k : k + 64]:
-            print(f"first differing element #{k // 64}")
-            break
-    return 1
+    cases = [
+        {"name": "arithmetic_n16", "n": 16, "with_bool": False},
+        {"name": "bool_n256", "n": 256, "with_bool": True},
+    ]
+    record = {
+        "git_head": head,
+        "reference_binary_sha256": binary_sha,
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "cases": [],
+    }
+    rc = 0
+    for case in cases:
+        ref_hex = subprocess.run(
+            [binary, str(case["n"]), "1" if case["with_bool"] else "0"],
+            check=True, capture_output=True, text=True,
+        ).stdout.strip()
+        print(f"[crosscheck] {case['name']}: running barretenberg_tpu twin...")
+        prover = _build_twin_prover(srs, n=case["n"], with_bool=case["with_bool"])
+        ours_hex = prover.construct_proof().serialize().hex()
+        identical = ref_hex == ours_hex
+        entry = {
+            **case,
+            "identical": identical,
+            "proof_bytes": len(ours_hex) // 2,
+            "proof_sha256": hashlib.sha256(bytes.fromhex(ours_hex)).hexdigest(),
+        }
+        record["cases"].append(entry)
+        if identical:
+            print(f"  PROOFS IDENTICAL ({len(ours_hex) // 2} bytes)")
+        else:
+            rc = 1
+            print("  MISMATCH")
+            for k in range(0, min(len(ref_hex), len(ours_hex)), 64):
+                if ref_hex[k : k + 64] != ours_hex[k : k + 64]:
+                    print(f"  first differing element #{k // 64}")
+                    entry["first_diff_element"] = k // 64
+                    break
+    record["identical"] = all(c["identical"] for c in record["cases"])
+    out_path = os.path.join(REPO, "CROSSCHECK.json")
+    with open(out_path, "w") as f:
+        json.dump(record, f, indent=2)
+    print(f"[crosscheck] wrote {out_path} (identical={record['identical']})")
+    return rc
 
 
 if __name__ == "__main__":

@@ -121,6 +121,29 @@ def _suffix_scan_points(points: JacobianPoints, n: int) -> JacobianPoints:
     return jax.lax.fori_loop(0, levels, level, points)
 
 
+def _suffix_scan_points_seg(
+    points: JacobianPoints, total: int, seg: int
+) -> JacobianPoints:
+    """Segmented inclusive suffix scan: the flat (total,) batch is treated
+    as total//seg contiguous segments of length seg (a power of two), each
+    suffix-scanned independently (out[i] = sum_{j>=i, same segment} in[j]).
+    All segments advance in parallel on the VPU lanes."""
+    levels = max(1, (seg - 1).bit_length())
+    mask = jnp.uint32(seg - 1)
+
+    def level(i, pts):
+        d = jnp.int32(1) << i
+        idx = jax.lax.broadcasted_iota(jnp.uint32, (total, 1), 0).squeeze(-1)
+        valid = (idx & mask).astype(jnp.int32) < (seg - d)
+        sh_x = jnp.roll(pts.x, -d, axis=1)
+        sh_y = jnp.roll(pts.y, -d, axis=1)
+        sh_z = jnp.roll(pts.z, -d, axis=1)
+        sh_inf = jnp.roll(pts.inf, -d, axis=0) | ~valid
+        return g1.add(pts, JacobianPoints(sh_x, sh_y, sh_z, sh_inf))
+
+    return jax.lax.fori_loop(0, levels, level, points)
+
+
 def _take_jacobian(p: JacobianPoints, idx) -> JacobianPoints:
     return JacobianPoints(
         jnp.take(p.x, idx, axis=1),
@@ -130,14 +153,13 @@ def _take_jacobian(p: JacobianPoints, idx) -> JacobianPoints:
     )
 
 
-def _accumulate_window(
+def _bucket_sums(
     bucket_idx, pts: AffinePoints, nbuckets: int, block: int
 ) -> JacobianPoints:
-    """One Pippenger round body: segment-accumulate entries (sorted by
-    bucket) into buckets and return the window sum sum_m (m+1)*S_m.
+    """Segment-accumulate entries (sorted by bucket) into per-bucket sums.
 
     bucket_idx: (M,) uint32, == nbuckets for dead entries. pts: (M,) affine.
-    M must be a multiple of block.
+    M must be a multiple of block. Returns JacobianPoints batch (nbuckets,).
     """
     m_total = bucket_idx.shape[0]
     nblocks = m_total // block
@@ -216,9 +238,15 @@ def _accumulate_window(
         binit.z.at[:, bidx].set(merged.z),
         binit.inf.at[bidx].set(merged.inf | ~live),
     )
-    buckets = _take_jacobian(buckets, jnp.arange(nbuckets))
+    return _take_jacobian(buckets, jnp.arange(nbuckets))
 
-    # ---- window sum: sum_m (m+1)*S_m = sum of suffix sums ---------------
+
+def _accumulate_window(
+    bucket_idx, pts: AffinePoints, nbuckets: int, block: int
+) -> JacobianPoints:
+    """One Pippenger round body: bucket sums -> window sum sum_m (m+1)*S_m
+    via the double-suffix-scan identity."""
+    buckets = _bucket_sums(bucket_idx, pts, nbuckets, block)
     suffix = _suffix_scan_points(buckets, nbuckets)
     return _take_jacobian(_suffix_scan_points(suffix, nbuckets), jnp.array([0]))
 
@@ -277,11 +305,111 @@ def _pippenger_impl(
     return jax.lax.fori_loop(0, rounds, round_fn, g1.infinity((1,)))
 
 
+@functools.partial(jax.jit, static_argnames=("c", "block"))
+def _pippenger_fused_impl(
+    scalars_mont: jnp.ndarray,
+    points: AffinePoints,
+    c: int,
+    block: int,
+) -> JacobianPoints:
+    """Small-batch schedule: ALL rounds' windows in ONE sort+segment-scan.
+
+    The per-round path (_pippenger_impl) serializes rounds because of the
+    doubling accumulator, so at small N its wall time is dominated by
+    sequential step count (R * (block scan + merge + suffix scans)), not by
+    lane width - at 2^12 that is ~2700 dependent point ops for ~64-wide
+    lanes. Here every (round, entry) pair becomes one entry of a single
+    bucket space of rounds * 2^(c-1) buckets (bucket = round * nbuckets +
+    digit - 1), so one segment scan accumulates every window at once; the
+    per-round double-suffix-scan runs with rounds as a parallel batch
+    (_suffix_scan_points_seg); only the final Horner combine (c doublings
+    per window, the inherent 2^128-factor depth) stays sequential. The
+    reference reaches the same end - constant bucket work per point - via
+    its bucket-width table (scalar_multiplication.cpp:21-81); on TPU the
+    win is sequential-depth reduction, ~2700 -> ~300 dependent ops.
+    """
+    n = scalars_mont.shape[1]
+    k1, k2 = split_scalars(scalars_mont)
+    d1 = signed_digits(k1, c)  # (R, N) int32
+    d2 = signed_digits(k2, c)
+    digits = jnp.concatenate([d1, d2], axis=1)  # (R, 2N)
+    rounds = digits.shape[0]
+    nbuckets = 1 << (c - 1)
+    nb_total = rounds * nbuckets
+
+    beta_x = fq.mul_by_constant(points.x, fq.params.cube_root)
+    px = jnp.concatenate([points.x, beta_x], axis=1)  # (18, 2N)
+    py = jnp.concatenate([points.y, fq.neg(points.y)], axis=1)
+    pinf = jnp.concatenate([points.inf, points.inf], axis=0)
+    neg_py = fq.neg(py)
+
+    # round-major flattening: entry e = r * 2N + i carries digit[r, i] and
+    # point i (tile repeats the 2N point block once per round)
+    flat = digits.reshape(-1)  # (R * 2N,)
+    px_full = jnp.tile(px, (1, rounds))
+    py_full = jnp.tile(py, (1, rounds))
+    negpy_full = jnp.tile(neg_py, (1, rounds))
+    pinf_full = jnp.tile(pinf, (rounds,))
+
+    two_n = 2 * n
+    rid = jax.lax.broadcasted_iota(
+        jnp.uint32, (rounds * two_n, 1), 0
+    ).squeeze(-1) // jnp.uint32(two_n)
+    negate = flat < 0
+    mag = jnp.abs(flat).astype(jnp.uint32)
+    bucket = jnp.where(
+        mag == 0, jnp.uint32(nb_total), rid * jnp.uint32(nbuckets) + mag - 1
+    )
+    pts = AffinePoints(
+        px_full,
+        jnp.where(negate[None], negpy_full, py_full),
+        pinf_full | (mag == 0),
+    )
+
+    m_total = rounds * two_n
+    npad = -(-m_total // block) * block
+    pad = npad - m_total
+    if pad:
+        bucket = jnp.pad(bucket, (0, pad), constant_values=nb_total)
+        pts = AffinePoints(
+            jnp.pad(pts.x, ((0, 0), (0, pad))),
+            jnp.pad(pts.y, ((0, 0), (0, pad))),
+            jnp.pad(pts.inf, (0, pad), constant_values=True),
+        )
+
+    buckets = _bucket_sums(bucket, pts, nb_total, block)
+    # per-round window sums, rounds as a parallel batch
+    suffix = _suffix_scan_points_seg(buckets, nb_total, nbuckets)
+    dsum = _suffix_scan_points_seg(suffix, nb_total, nbuckets)
+    windows = _take_jacobian(dsum, jnp.arange(rounds) * nbuckets)  # (R,)
+    # same defect class as the per-round path: keep the window values out
+    # of the doubling-chain fusion (see _pippenger_impl's barrier note)
+    windows = jax.lax.optimization_barrier(windows)
+
+    # Horner combine, MSB-first: acc = 2^c * acc + W_r. One fori_loop with
+    # a dynamic window gather keeps exactly one dbl and one add instance in
+    # the graph (a Python unroll compiled R copies of each - XLA flagged
+    # the module as pathologically slow to build).
+    def comb(r, acc):
+        acc = jax.lax.fori_loop(0, c, lambda _, a: g1.dbl(a), acc)
+        idx = jnp.full((1,), rounds - 1, jnp.int32) - r
+        return g1.add(acc, _take_jacobian(windows, idx))
+
+    acc = _take_jacobian(windows, jnp.array([rounds - 1]))
+    return jax.lax.fori_loop(1, rounds, comb, acc)
+
+
+# fused-schedule cutover: above this N the per-round path's lane widths are
+# large enough that its (smaller) memory footprint wins
+FUSED_MAX_N = 1 << 15
+
+
 def pippenger(
     scalars_mont: jnp.ndarray,
     points: AffinePoints,
     c: int | None = None,
     block: int = 128,
+    fused: bool | None = None,
 ) -> JacobianPoints:
     """MSM: sum_i scalars[i] * points[i] -> JacobianPoints batch (1,).
 
@@ -293,6 +421,10 @@ def pippenger(
     if c is None:
         c = optimal_window(n)
     block = min(block, max(16, 2 * n))
+    if fused is None:
+        fused = n <= FUSED_MAX_N
+    if fused:
+        return _pippenger_fused_impl(scalars_mont, points, c, block)
     return _pippenger_impl(scalars_mont, points, c, block)
 
 

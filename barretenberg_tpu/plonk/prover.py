@@ -80,7 +80,7 @@ class CircuitState:
 # ---------------------------------------------------------------------------
 # Jitted device phases (static over domains, dynamic over challenge arrays)
 # ---------------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnames=("small",))
+@jax.jit
 def _z_evals_jit(w_l, w_r, w_o, s1, s2, s3, beta, gamma, bk1, bk2, small):
     """(prover.cpp:135-222): grand-product numerator/denominator lane
     products, one associative scan each, batch inversion, Z evaluations."""
@@ -104,7 +104,7 @@ def _z_evals_jit(w_l, w_r, w_o, s1, s2, s3, beta, gamma, bk1, bk2, small):
     return jnp.concatenate([one, z_tail], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("small", "mid", "large"))
+@jax.jit
 def _quotient_grand_product_jit(
     w_l_c, w_r_c, w_o_c, z_poly, s1_ev, s2_ev, s3_ev, ch, small, mid, large
 ):
@@ -191,7 +191,7 @@ def _perm_factor_pre_jit(sigma_c, wire_c, gamma):
     return jnp.concatenate([fr.add(s[:, :1], gamma), s[:, 1:]], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("large",))
+@jax.jit
 def _quotient_combine_jit(f1, f2, f3, z_fft, w_l_fft, w_r_fft, w_o_fft, ch, large):
     mul, add = fr.mont_mul, fr.add
     z_fft_shifted = jnp.roll(z_fft, -4, axis=1)
@@ -203,7 +203,7 @@ def _quotient_combine_jit(f1, f2, f3, z_fft, w_l_fft, w_r_fft, w_o_fft, ch, larg
     return add(quotient_large, mul(mul(t0, t1), mul(t2, z_fft)))
 
 
-@functools.partial(jax.jit, static_argnames=("small", "mid"))
+@jax.jit
 def _boundary_mid_jit(z_fft, ch, small, mid):
     mul, sub = fr.mont_mul, fr.sub
     z_fft_shifted = jnp.roll(z_fft, -4, axis=1)
@@ -214,7 +214,7 @@ def _boundary_mid_jit(z_fft, ch, small, mid):
     return fr.add(t4, t6)
 
 
-@functools.partial(jax.jit, static_argnames=("small", "target"))
+@jax.jit
 def _vanish_jit(evals, small, target):
     return arithmetic.divide_by_pseudo_vanishing_polynomial(evals, small, target)
 
@@ -225,7 +225,7 @@ def _combine_quotients_jit(qm, ql):
     return jnp.concatenate([fr.add(ql[:, :n2], qm), ql[:, n2:]], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("small", "mid", "large"))
+@jax.jit
 def _quotient_finalize_jit(quotient_mid, quotient_large, small, mid, large):
     """Z_H* division + coset iffts + mid/large combination
     (prover.cpp:453-463)."""

@@ -216,6 +216,65 @@ class EvaluationDomain:
         return fr.mul_by_constant(self.root_vector(), self.generator)
 
 
+# ----------------------------------------------------------------------
+# Pytree registration: EvaluationDomain is passed to jitted functions as a
+# DYNAMIC argument. Its cached device tables flatten to pytree leaves (so
+# they become runtime parameters of the compiled program), while the host
+# scalars (size, roots, ...) ride the static aux data. Without this the
+# tables were baked into every lowered graph as HLO constants - at n=2^22
+# the coset-scale table alone is ~300MB of serialized program, which both
+# exploded compile times and overflowed the remote-compile transport
+# (HTTP 413) on the 2^20 prove's 4n quotient FFTs.
+#
+# Caveat carried over from warm_tables: the flatten set is whatever is
+# built at call time, so warming must happen BEFORE the first jit call of
+# a given variant (a later-built table changes the treedef and forces one
+# retrace of that call signature).
+# ----------------------------------------------------------------------
+_HOST_ATTRS = (
+    "size",
+    "log2_size",
+    "root",
+    "root_inverse",
+    "domain_inverse",
+    "generator",
+    "generator_inverse",
+)
+
+
+def _domain_flatten(d: EvaluationDomain):
+    dyn = {k: v for k, v in d.__dict__.items() if k not in _HOST_ATTRS}
+    leaves, treedef = jax.tree_util.tree_flatten(dyn)
+    is_arr = tuple(
+        isinstance(leaf, (jax.Array, np.ndarray)) for leaf in leaves
+    )
+    children = tuple(l for l, a in zip(leaves, is_arr) if a)
+    host = tuple(l for l, a in zip(leaves, is_arr) if not a)
+    aux = (
+        tuple(getattr(d, k) for k in _HOST_ATTRS),
+        treedef,
+        is_arr,
+        host,
+    )
+    return children, aux
+
+
+def _domain_unflatten(aux, children) -> EvaluationDomain:
+    host_attrs, treedef, is_arr, host = aux
+    obj = object.__new__(EvaluationDomain)
+    for k, v in zip(_HOST_ATTRS, host_attrs):
+        object.__setattr__(obj, k, v)
+    it_c, it_h = iter(children), iter(host)
+    leaves = [next(it_c) if a else next(it_h) for a in is_arr]
+    obj.__dict__.update(jax.tree_util.tree_unflatten(treedef, leaves))
+    return obj
+
+
+jax.tree_util.register_pytree_node(
+    EvaluationDomain, _domain_flatten, _domain_unflatten
+)
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def _power_table_jit(base_arr: jnp.ndarray, n: int) -> jnp.ndarray:
     from ..utils.scans import hillis_scan

@@ -125,7 +125,7 @@ def fft_stages(x: jnp.ndarray, table: jnp.ndarray, log2n: int) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("domain", "inverse", "coset", "apply_scale")
+    jax.jit, static_argnames=("inverse", "coset", "apply_scale")
 )
 def _fft_jit(
     coeffs,

@@ -78,6 +78,24 @@ def test_pippenger_precomputed_matches(points):
     assert res == host_curve.g1_msm(points_to_host(points), scalars)
 
 
+def test_fused_matches_per_round(points):
+    """The small-batch fused schedule (all rounds in one segment scan,
+    msm/pippenger.py::_pippenger_fused_impl) and the per-round path must
+    agree bit-for-bit; `run` above exercises fused (the N<=FUSED_MAX_N
+    default) against the host oracle, this pins the two device paths to
+    each other including edge scalars."""
+    rng = np.random.default_rng(36)
+    scalars = [0, 1, fr.p - 1, 2] + [
+        int.from_bytes(rng.bytes(32), "little") % fr.p for _ in range(N - 4)
+    ]
+    enc = fr.encode(scalars)
+    fused = jacobian_to_host(pippenger(enc, points, c=C, block=BLOCK, fused=True))
+    per_round = jacobian_to_host(
+        pippenger(enc, points, c=C, block=BLOCK, fused=False)
+    )
+    assert fused == per_round
+
+
 def test_batched_msm_matches(points):
     from barretenberg_tpu.msm import batched_msm
 

@@ -338,6 +338,35 @@ def bench_extended(details: dict, length: int = 5000):
     _bench_circuit("extended", build, details)
 
 
+def bench_bool(details: dict, pairs: int = 1100):
+    """BoolComposer circuit prove/verify at bench scale - the Bool-widget
+    path on hardware at n >= 2^12 (reference test_bool_composer.cpp e2e
+    pattern; each pair adds 2 bool-constrained wires + mul + add gates)."""
+    from barretenberg_tpu.composer import AddTriple, BoolComposer, MulTriple
+    from barretenberg_tpu.fields import fr
+
+    def build():
+        composer = BoolComposer()
+        for i in range(pairs):
+            a, b = (i >> 1) & 1, i & 1
+            a_idx = composer.add_variable(a)
+            b_idx = composer.add_variable(b)
+            c_idx = composer.add_variable(a * b)
+            d_idx = composer.add_variable(a + b)
+            composer.create_bool_gate(a_idx)
+            composer.create_bool_gate(b_idx)
+            composer.create_mul_gate(
+                MulTriple(a_idx, b_idx, c_idx, 1, fr.p - 1, 0)
+            )
+            composer.create_add_gate(
+                AddTriple(a_idx, b_idx, d_idx, 1, 1, fr.p - 1, 0)
+            )
+        composer.create_dummy_gates()
+        return composer, {"bool_pairs": pairs}
+
+    _bench_circuit("bool", build, details)
+
+
 def bench_srs_check(log_n: int, details: dict, sample: int = 2048):
     """SRS validation at scale (reference test_io.cpp:12 loads 100k points,
     checks on-curve + tau-pairing consistency): (a) device on-curve sweep
@@ -385,6 +414,10 @@ def main():
     ap.add_argument("--prove-log-n", type=int, default=None)
     ap.add_argument("--sha256", action="store_true", help="include SHA256 circuit prove")
     ap.add_argument("--mimc", action="store_true", help="include MiMC circuit prove")
+    ap.add_argument(
+        "--bool", dest="bool_circuit", action="store_true",
+        help="include BoolComposer circuit prove (n=2^12)",
+    )
     ap.add_argument(
         "--extended", action="store_true",
         help="include ExtendedComposer merged-gate circuit prove",
@@ -453,6 +486,8 @@ def main():
         bench_sha256(details)
     if args.mimc and _remaining() > 60:
         bench_mimc(details)
+    if args.bool_circuit and _remaining() > 60:
+        bench_bool(details)
     if args.extended and _remaining() > 60:
         bench_extended(details)
     if args.srs_check and _remaining() > 60:

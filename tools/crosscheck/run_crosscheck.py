@@ -170,23 +170,94 @@ def build_reference_fixture(transcript_path: str) -> str:
     return out
 
 
+def build_reference_fixture_opt(transcript_path: str) -> str:
+    """The reference's FAST configuration (x64 assembly field kernels +
+    OpenMP over all host cores, its default build, field_impl_asm.tcc /
+    CMakeLists) - used for the recorded same-host timing comparison; the
+    int128 build above stays the byte-compare oracle. Both binaries print
+    identical proofs (checked by the caller)."""
+    out = os.path.join(HERE, "fixture_opt.bin")
+    objs = []
+    base = os.path.join(REF, "src/barretenberg")
+    common = [
+        "-O2",
+        "-DNDEBUG",
+        "-fopenmp",
+        "-march=native",
+        f'-DBARRETENBERG_SRS_PATH="{transcript_path}"',
+        "-I" + os.path.join(REF, "src"),
+        "-w",
+    ]
+    for src in REF_C_SOURCES:
+        obj = os.path.join(HERE, os.path.basename(src) + ".opt.o")
+        subprocess.run(
+            ["gcc", "-c", os.path.join(base, src), "-o", obj, *common],
+            check=True,
+        )
+        objs.append(obj)
+    for src in REF_SOURCES:
+        obj = os.path.join(HERE, os.path.basename(src) + ".opt.o")
+        subprocess.run(
+            ["g++", "-std=c++17", "-c", os.path.join(base, src), "-o", obj, *common],
+            check=True,
+        )
+        objs.append(obj)
+    subprocess.run(
+        [
+            "g++", "-std=c++17",
+            os.path.join(HERE, "fixture.cpp"), *objs, "-o", out, *common,
+        ],
+        check=True,
+    )
+    return out
+
+
 def main() -> int:
+    import argparse
     import hashlib
     import json
     import time
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--big",
+        type=int,
+        default=None,
+        metavar="LOG2N",
+        help="single big-circuit case at n=2^LOG2N (e.g. 20): reference C++ "
+        "prover on this host's cores vs barretenberg_tpu on the default JAX "
+        "backend (TPU when available), same deterministic circuit, proofs "
+        "compared byte for byte; walls of both sides are recorded",
+    )
+    args = ap.parse_args()
+
+    if args.big is None:
+        # default cases run the Python twin on CPU for reproducibility
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from barretenberg_tpu.srs import ReferenceString, test_srs
 
-    max_n = 256
-    srs = test_srs(max_n)
-    transcript = os.path.join(HERE, "transcript.dat")
-    ReferenceString.save(transcript, srs.monomials_host()[1:], srs.g2_x)
+    if args.big is not None:
+        # reuse bench.py's disk-cached deterministic SRS (same 0xA11CE
+        # secret as test_srs) so neither side regenerates 2^20 points
+        max_n = 1 << args.big
+        cache = os.path.join(REPO, ".srs_cache", f"srs_{max_n}.dat")
+        if os.path.exists(cache):
+            srs = ReferenceString.load(cache, max_n)
+            transcript = cache
+        else:
+            srs = test_srs(max_n)
+            transcript = os.path.join(HERE, "transcript.dat")
+            ReferenceString.save(transcript, srs.monomials_host()[1:], srs.g2_x)
+    else:
+        max_n = 256
+        srs = test_srs(max_n)
+        transcript = os.path.join(HERE, "transcript.dat")
+        ReferenceString.save(transcript, srs.monomials_host()[1:], srs.g2_x)
 
     print("[crosscheck] building reference C++ prover (int128 path)...")
     binary = build_reference_fixture(transcript)
@@ -196,10 +267,16 @@ def main() -> int:
         ["git", "-C", REPO, "rev-parse", "HEAD"], capture_output=True, text=True
     ).stdout.strip()
 
-    cases = [
-        {"name": "arithmetic_n16", "n": 16, "with_bool": False},
-        {"name": "bool_n256", "n": 256, "with_bool": True},
-    ]
+    if args.big is not None:
+        cases = [
+            {"name": f"arithmetic_2e{args.big}", "n": 1 << args.big,
+             "with_bool": False},
+        ]
+    else:
+        cases = [
+            {"name": "arithmetic_n16", "n": 16, "with_bool": False},
+            {"name": "bool_n256", "n": 256, "with_bool": True},
+        ]
     record = {
         "git_head": head,
         "reference_binary_sha256": binary_sha,
@@ -208,13 +285,51 @@ def main() -> int:
     }
     rc = 0
     for case in cases:
+        t0 = time.perf_counter()
         ref_hex = subprocess.run(
             [binary, str(case["n"]), "1" if case["with_bool"] else "0"],
             check=True, capture_output=True, text=True,
         ).stdout.strip()
+        ref_s = time.perf_counter() - t0
+        print(f"[crosscheck] reference prover: {ref_s:.1f}s")
         print(f"[crosscheck] {case['name']}: running barretenberg_tpu twin...")
         prover = _build_twin_prover(srs, n=case["n"], with_bool=case["with_bool"])
+        t0 = time.perf_counter()
         ours_hex = prover.construct_proof().serialize().hex()
+        ours_s = time.perf_counter() - t0
+        print(f"[crosscheck] barretenberg_tpu prover: {ours_s:.1f}s "
+              f"(backend {jax.default_backend()})")
+        case["ref_prove_s"] = round(ref_s, 3)
+        case["tpu_prove_s"] = round(ours_s, 3)
+        case["tpu_backend"] = jax.default_backend()
+        if args.big is not None:
+            # steady-state twin timing (first prove in a process pays the
+            # XLA compile / cache-load round trips; the service shape is
+            # the warm number - BENCH_DETAILS plonk_prove_* cold_s/wall_s)
+            prover = _build_twin_prover(
+                srs, n=case["n"], with_bool=case["with_bool"]
+            )
+            t0 = time.perf_counter()
+            warm_hex = prover.construct_proof().serialize().hex()
+            case["tpu_prove_warm_s"] = round(time.perf_counter() - t0, 3)
+            assert warm_hex == ours_hex, "warm twin proof diverged"
+            # reference fast build (asm + OpenMP): timing-only, must print
+            # the identical proof
+            try:
+                opt_binary = build_reference_fixture_opt(transcript)
+                t0 = time.perf_counter()
+                opt_hex = subprocess.run(
+                    [opt_binary, str(case["n"]),
+                     "1" if case["with_bool"] else "0"],
+                    check=True, capture_output=True, text=True,
+                ).stdout.strip()
+                case["ref_prove_opt_s"] = round(time.perf_counter() - t0, 3)
+                case["ref_opt_identical"] = opt_hex == ref_hex
+                print(f"[crosscheck] reference prover (asm+OpenMP): "
+                      f"{case['ref_prove_opt_s']}s "
+                      f"identical={case['ref_opt_identical']}")
+            except subprocess.CalledProcessError as e:  # pragma: no cover
+                print(f"[crosscheck] optimized reference build failed: {e}")
         identical = ref_hex == ours_hex
         entry = {
             **case,
@@ -235,6 +350,15 @@ def main() -> int:
                     break
     record["identical"] = all(c["identical"] for c in record["cases"])
     out_path = os.path.join(REPO, "CROSSCHECK.json")
+    if args.big is not None and os.path.exists(out_path):
+        # merge the big case into the standing record instead of dropping
+        # the default small cases
+        with open(out_path) as f:
+            prior = json.load(f)
+        names = {c["name"] for c in record["cases"]}
+        merged = [c for c in prior.get("cases", []) if c["name"] not in names]
+        record["cases"] = merged + record["cases"]
+        record["identical"] = all(c["identical"] for c in record["cases"])
     with open(out_path, "w") as f:
         json.dump(record, f, indent=2)
     print(f"[crosscheck] wrote {out_path} (identical={record['identical']})")

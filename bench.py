@@ -262,6 +262,13 @@ def _bench_circuit(name: str, build, details: dict):
     t0 = time.perf_counter()
     proof = prover.construct_proof()
     prove_s = time.perf_counter() - t0
+    # steady-state prove: fresh prover, same compiled phases (the first
+    # prove's wall is dominated by XLA compiles at a fresh size)
+    prover2 = ctx.preprocess(reference_string=srs)
+    t0 = time.perf_counter()
+    proof2 = prover2.construct_proof()
+    prove_warm_s = time.perf_counter() - t0
+    assert proof2.serialize() == proof.serialize()
     t0 = time.perf_counter()
     ok = verifier.verify_proof(proof)
     verify_s = time.perf_counter() - t0
@@ -271,6 +278,7 @@ def _bench_circuit(name: str, build, details: dict):
         "witness_s": witness_s,
         "setup_s": setup_s,
         "prove_s": prove_s,
+        "prove_warm_s": prove_warm_s,
         "verify_s": verify_s,
         "verified": bool(ok),
     }
